@@ -1,0 +1,209 @@
+"""TPU-native Merkle tree: array-resident levels, batched level-by-level hashing.
+
+Replaces the reference's pointer-based tree structures
+(openzl-crypto/src/merkle_tree/{tree,inner_tree,full,partial}.rs) with a
+functional design: a tree is an immutable dataclass holding one digest array
+per level; bulk construction hashes an entire level per Poseidon batch (the
+TPU-friendly axis), and incremental pushes update the O(height) current path.
+
+Semantics matched to the reference:
+  * capacity = 2^(HEIGHT-1), path = sibling leaf + (HEIGHT-2) inner digests
+    (tree.rs:196-216)
+  * absent siblings read as the sentinel default digest (zero), not as a hash
+    of zeros (inner_tree.rs Sentinel semantics, inner_tree.rs:282-370)
+  * joins order (lhs, rhs) by node parity (node.rs / path.rs:105-166)
+
+Copy-on-write forking and rollback (reference fork.rs, persistence.rs) are
+free here: trees are immutable values, so `fork = tree` and rollback is
+keeping the old object. See fork.py for the explicit API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...fields import limb
+from ...fields.spec import FieldSpec
+from ..poseidon.permutation import Poseidon
+
+
+@dataclasses.dataclass(frozen=True)
+class MerkleParameters:
+    """Hash parameters: Poseidon arity-2 joins over a field, identity leaf hash.
+
+    `digest` maps a leaf to a leaf digest (identity by default, matching the
+    reference's `IdentityLeafHash` for field-element leaves, tree.rs:68-90).
+    """
+
+    spec: FieldSpec
+    height: int  # HEIGHT; capacity = 2^(height-1), height >= 2
+
+    @functools.cached_property
+    def poseidon(self) -> Poseidon:
+        return Poseidon.create(self.spec, arity=2)
+
+    @property
+    def capacity(self) -> int:
+        return 1 << (self.height - 1)
+
+    @property
+    def path_length(self) -> int:
+        return self.height - 2
+
+    # batched: lhs/rhs (n_limbs, *batch) Montgomery form -> (n_limbs, *batch)
+    def join(self, lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        return self.poseidon.hash(jnp.stack([lhs, rhs], axis=1))
+
+    join_leaves = join
+
+    def digest(self, leaf: jnp.ndarray) -> jnp.ndarray:
+        return leaf
+
+    def default_digest(self, batch=()) -> jnp.ndarray:
+        return limb.zeros(self.spec, batch)
+
+
+@dataclasses.dataclass(frozen=True)
+class MerkleTree:
+    """Immutable Merkle tree; level `l` holds digests of occupied nodes only.
+
+    levels[0] = leaf digests (count entries); levels[l] has ceil over 2^l;
+    levels[height-1] = [root] once non-empty.
+    """
+
+    parameters: MerkleParameters
+    count: int
+    levels: tuple  # tuple of np.ndarray (n_limbs, occupied_l)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def empty(cls, parameters: MerkleParameters) -> "MerkleTree":
+        n = parameters.spec.n_limbs
+        levels = tuple(
+            np.zeros((n, 0), dtype=np.uint32) for _ in range(parameters.height)
+        )
+        return cls(parameters, 0, levels)
+
+    @classmethod
+    def from_leaf_digests(
+        cls, parameters: MerkleParameters, digests: np.ndarray
+    ) -> "MerkleTree":
+        """Bulk batched build: one Poseidon batch per level."""
+        digests = np.asarray(digests)
+        count = digests.shape[1]
+        assert count <= parameters.capacity
+        levels = [digests]
+        current = digests
+        for _ in range(parameters.height - 1):
+            current = np.asarray(_build_level(parameters, jnp.asarray(current)))
+            levels.append(current)
+        return cls(parameters, count, tuple(levels))
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    @property
+    def spec(self) -> FieldSpec:
+        return self.parameters.spec
+
+    def __len__(self) -> int:
+        return self.count
+
+    def root(self) -> np.ndarray:
+        """(n_limbs,) Montgomery-form root digest (zero digest when empty)."""
+        top = self.levels[-1]
+        if top.shape[1] == 0:
+            return np.zeros(self.spec.n_limbs, dtype=np.uint32)
+        return top[:, 0]
+
+    def leaf_digest(self, index: int) -> np.ndarray:
+        return self.levels[0][:, index]
+
+    def _node_digest(self, level: int, index: int) -> np.ndarray:
+        arr = self.levels[level]
+        if index < arr.shape[1]:
+            return arr[:, index]
+        return np.zeros(self.spec.n_limbs, dtype=np.uint32)
+
+    # ------------------------------------------------------------------
+    # updates (functional)
+    # ------------------------------------------------------------------
+
+    def push_leaf_digests(self, digests: np.ndarray) -> "MerkleTree":
+        """Append a batch of leaf digests, rebuilding only affected suffixes.
+
+        Each level recomputes nodes covering the appended range — batched, so
+        bulk extends cost ~2x the new leaves' hashes (amortized optimal).
+        """
+        digests = np.asarray(digests)
+        add = digests.shape[1]
+        if add == 0:
+            return self
+        new_count = self.count + add
+        assert new_count <= self.parameters.capacity
+        new_levels = [np.concatenate([self.levels[0], digests], axis=1)]
+        start = self.count  # first dirty index at current level
+        current = new_levels[0]
+        for level in range(1, self.parameters.height):
+            parent_start = start >> 1
+            dirty = current[:, parent_start * 2 :]
+            rebuilt = np.asarray(_build_level(self.parameters, jnp.asarray(dirty)))
+            prev = self.levels[level][:, :parent_start]
+            new_level = np.concatenate([prev, rebuilt], axis=1)
+            new_levels.append(new_level)
+            current = new_level
+            start = parent_start
+        return MerkleTree(self.parameters, new_count, tuple(new_levels))
+
+    def push(self, leaf_digest: np.ndarray) -> "MerkleTree":
+        return self.push_leaf_digests(np.asarray(leaf_digest).reshape(-1, 1))
+
+    # ------------------------------------------------------------------
+    # membership proofs
+    # ------------------------------------------------------------------
+
+    def path(self, index: int) -> "MerklePath":
+        from .path import MerklePath  # cycle-free local import
+
+        assert 0 <= index < self.count
+        sibling_leaf = self._node_digest(0, index ^ 1)
+        inner = []
+        node = index >> 1
+        for level in range(1, self.parameters.height - 1):
+            inner.append(self._node_digest(level, node ^ 1))
+            node >>= 1
+        inner_arr = (
+            np.stack(inner, axis=1)
+            if inner
+            else np.zeros((self.spec.n_limbs, 0), dtype=np.uint32)
+        )
+        return MerklePath(self.parameters, index, sibling_leaf, inner_arr)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _build_level(parameters: MerkleParameters, level: jnp.ndarray) -> jnp.ndarray:
+    """Hash pairs of an occupied-level array into the parent level.
+
+    Odd trailing node is joined with the zero sentinel; fully absent subtrees
+    are never hashed (their digest is the sentinel itself).
+    """
+    m = level.shape[1]
+    if m == 0:
+        return level
+    if m % 2 == 1:
+        level = jnp.concatenate(
+            [level, jnp.zeros((level.shape[0], 1), dtype=level.dtype)], axis=1
+        )
+    pairs = level.reshape(level.shape[0], -1, 2)  # (n, m/2, 2)
+    return parameters.poseidon.hash(jnp.swapaxes(pairs, 1, 2))  # (n, m/2)
