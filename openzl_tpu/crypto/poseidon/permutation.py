@@ -41,9 +41,13 @@ ROUND_NUMBERS = {
 }
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Poseidon:
-    """Poseidon permutation instance with device-resident Montgomery params."""
+    """Poseidon permutation instance with device-resident Montgomery params.
+
+    `eq=False`: instances hash/compare by identity so they can be jit static
+    arguments (`create` is lru_cached, so equal configs share one instance).
+    """
 
     spec: FieldSpec
     width: int

@@ -106,6 +106,10 @@ class R1CS:
 
     def alloc_instance(self, value: Optional[int]) -> int:
         """Public-input column; returns the global column index."""
+        # witness column indices are assigned after all instance columns, so
+        # instances must be allocated first (the reference's input-then-logic
+        # convention; Groth16 QAP indexing relies on it)
+        assert self.num_witness == 0, "allocate public inputs before witnesses"
         self.num_instance += 1
         if not self.is_setup:
             assert value is not None, "prove mode requires assigned values"

@@ -216,6 +216,57 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @_jit_spec
+def mont_mul_compact(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mont_mul with a scan-compressed trace (~40 HLO ops vs ~300 unrolled).
+
+    Same math as :func:`mont_mul`; the limb loops run under `lax.scan` so
+    deep compositions (EC adds inside MSM scans) keep compile time bounded.
+    The unrolled variant stays the default for shallow hot loops (Poseidon,
+    NTT) where full unrolling fuses best.
+    """
+    n = spec.n_limbs
+    a, b = jnp.broadcast_arrays(a, b)
+    batch = a.shape[1:]
+    n0inv = np.uint32(spec.n0inv)
+    p = _const(spec.p_limbs, a.ndim)
+
+    cols = jnp.zeros((2 * n + 1,) + batch, dtype=_U32)
+
+    # product phase: dynamic-slice accumulation at offset i
+    def prod_body(cols, xi):
+        ai, i = xi
+        prod = ai[None] * b  # (n, *batch)
+        lo = prod & _MASK
+        hi = prod >> LIMB_BITS
+        seg = lax.dynamic_slice_in_dim(cols, i, n + 1, 0)
+        seg = seg.at[:n].add(lo).at[1:].add(hi)
+        return lax.dynamic_update_slice_in_dim(cols, seg, i, 0), None
+
+    cols, _ = lax.scan(prod_body, cols, (a, jnp.arange(n)))
+
+    # reduction phase: shifting register, current column always at index 0
+    def red_body(carry, _):
+        cols, carry_v = carry
+        ci = cols[0] + carry_v
+        m = (ci * n0inv) & _MASK
+        mp = m[None] * p
+        lo = mp & _MASK
+        hi = mp >> LIMB_BITS
+        carry_next = (ci + lo[0]) >> LIMB_BITS
+        cols = cols.at[1:n].add(lo[1:] + hi[:-1])
+        cols = cols.at[n].add(hi[-1])
+        cols = jnp.concatenate([cols[1:], jnp.zeros((1,) + batch, _U32)])
+        return (cols, carry_next), None
+
+    (cols, carry), _ = lax.scan(
+        red_body, (cols, jnp.zeros(batch, _U32)), None, length=n
+    )
+    cols = cols.at[0].add(carry)
+    out = _propagate(cols[: n + 1], n)
+    return _cond_sub_p(spec, out)
+
+
+@_jit_spec
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, a)
 
@@ -271,8 +322,19 @@ def from_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_mont(spec: FieldSpec, values) -> np.ndarray:
-    """Python ints -> Montgomery-form limb array (host-side)."""
+    """Python ints -> Montgomery-form limb array (host-side).
+
+    Uses the native C++ converter (openzl_tpu.native) when built; falls back
+    to the per-element Python loop."""
     arr = np.asarray(values, dtype=object)
+    try:
+        from .. import native
+
+        out = native.to_mont_limbs(spec, arr)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     out = np.zeros((spec.n_limbs,) + arr.shape, dtype=np.uint32)
     for idx in np.ndindex(arr.shape):
         out[(slice(None),) + idx] = int_to_limbs(
@@ -283,6 +345,14 @@ def pack_mont(spec: FieldSpec, values) -> np.ndarray:
 
 def unpack_mont(spec: FieldSpec, limbs) -> np.ndarray:
     """Montgomery-form limb array -> object array of canonical Python ints."""
+    try:
+        from .. import native
+
+        out = native.from_mont_limbs(spec, np.asarray(limbs))
+        if out is not None:
+            return out
+    except Exception:
+        pass
     out = unpack(spec, limbs)
     if out.shape == ():
         return np.array(spec.from_mont(int(out)), dtype=object)

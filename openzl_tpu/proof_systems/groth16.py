@@ -1,0 +1,393 @@
+"""Groth16 zk-SNARK: setup / prove / verify over the TPU kernel stack.
+
+TPU-native replacement for ark-groth16 behind the reference's `Groth16`
+ProofSystem (plugins/arkworks/src/groth16.rs:398-467; hot-path anatomy in
+SURVEY.md section 3.2):
+
+  * compile (circuit-specific setup): QAP variable polynomials evaluated at
+    toxic tau via Lagrange coefficients (host bigints, O(nnz)), then every
+    group encoding is produced by **batched TPU scalar multiplication** (one
+    255-step double-and-add scan over the whole query array).
+  * prove: witness-weighted QAP evaluations u/v/w on the domain (host sparse
+    matvec, O(nnz)), H(x) via 6 TPU NTTs (iNTT -> coset NTT -> pointwise ->
+    coset iNTT), then 4 G1 MSMs + 1 G2 MSM on TPU.
+  * verify: 4 pairings on the host oracle (O(1) work per proof;
+    openzl_tpu.ref.pairing).
+
+QAP construction matches ark-groth16: domain size = next power of two >=
+num_constraints + num_instance; instance-binding rows A[nc+i][i] = 1; the
+coset trick divides by the constant Z(g omega^j) = g^n - 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..curves import jacobian as jac
+from ..curves.jacobian import JPoint
+from ..eclair.compilers import R1CSCompiler
+from ..eclair.r1cs import R1CS
+from ..fields import limb
+from ..fields.spec import FieldSpec
+from ..ops import ntt as nttmod
+from ..ops.msm import msm
+from ..ref import curve as refc
+from ..ref import pairing as refpair
+from ..ref.pairing import PairingSpec
+
+
+# ---------------------------------------------------------------------------
+# key / proof containers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    """Host-side verification key (affine int points)."""
+
+    pairing: PairingSpec
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_abc_g1: list  # per instance column (incl. ONE)
+
+    def to_bytes(self) -> bytes:
+        """ark-groth16 VerifyingKey layout: alpha_g1, beta_g2, gamma_g2,
+        delta_g2, Vec<gamma_abc_g1> (reference groth16.rs:188-355)."""
+        from ..utils import codec
+
+        g1, g2 = self.pairing.g1, self.pairing.g2
+        w = codec.Writer()
+        w.point(g1, self.alpha_g1)
+        w.point(g2, self.beta_g2)
+        w.point(g2, self.gamma_g2)
+        w.point(g2, self.delta_g2)
+        w.vec(self.gamma_abc_g1, lambda pt: w.point(g1, pt))
+        return w.getvalue()
+
+    @classmethod
+    def from_bytes(cls, pairing: PairingSpec, data: bytes) -> "VerifyingKey":
+        from ..utils import codec
+
+        g1, g2 = pairing.g1, pairing.g2
+        r = codec.Reader(data)
+        return cls(
+            pairing=pairing,
+            alpha_g1=r.point(g1),
+            beta_g2=r.point(g2),
+            gamma_g2=r.point(g2),
+            delta_g2=r.point(g2),
+            gamma_abc_g1=r.vec(lambda: r.point(g1)),
+        )
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    """Device-side proving key: query tables as batched Jacobian points."""
+
+    pairing: PairingSpec
+    vk: VerifyingKey
+    beta_g1: tuple
+    delta_g1: tuple
+    a_query: JPoint  # (num_vars,) u_k(tau) G1
+    b_g1_query: JPoint  # (num_vars,) v_k(tau) G1
+    b_g2_query: JPoint  # (num_vars,) v_k(tau) G2
+    h_query: JPoint  # (n-1,) tau^i Z(tau)/delta G1
+    l_query: JPoint  # (num_witness,) (beta u + alpha v + w)/delta G1
+    domain_log2: int
+    num_instance_total: int
+
+
+@dataclasses.dataclass
+class Proof:
+    a: tuple  # affine G1
+    b: tuple  # affine G2
+    c: tuple  # affine G1
+
+    def to_bytes(self, pairing: PairingSpec) -> bytes:
+        """ark-groth16 Proof layout: A, B, C compressed
+        (reference groth16.rs:60-140 Proof serialization)."""
+        from ..utils import codec
+
+        w = codec.Writer()
+        w.point(pairing.g1, self.a)
+        w.point(pairing.g2, self.b)
+        w.point(pairing.g1, self.c)
+        return w.getvalue()
+
+    @classmethod
+    def from_bytes(cls, pairing: PairingSpec, data: bytes) -> "Proof":
+        from ..utils import codec
+
+        r = codec.Reader(data)
+        return cls(
+            a=r.point(pairing.g1), b=r.point(pairing.g2), c=r.point(pairing.g1)
+        )
+
+
+# ---------------------------------------------------------------------------
+# QAP helpers (host bigints — cold per-circuit path)
+# ---------------------------------------------------------------------------
+
+
+def _qap_matrices(cs: R1CS):
+    """A/B/C rows incl. the ark-style instance-binding rows."""
+    rows_a = [a for a, _, _ in cs.constraints]
+    rows_b = [b for _, b, _ in cs.constraints]
+    rows_c = [c for _, _, c in cs.constraints]
+    from ..eclair.r1cs import LinComb
+
+    for i in range(cs.num_instance_total):
+        rows_a.append(LinComb.single(i))
+        rows_b.append(LinComb())
+        rows_c.append(LinComb())
+    return rows_a, rows_b, rows_c
+
+
+def _domain_log2(n_rows: int) -> int:
+    return max(1, (n_rows - 1).bit_length())
+
+
+def _lagrange_at(spec: FieldSpec, log_n: int, tau: int) -> List[int]:
+    """ell_j(tau) for the radix-2 domain H: (tau^n - 1) * w^j / (n (tau - w^j))."""
+    p = spec.modulus
+    n = 1 << log_n
+    w = nttmod.group_gen(spec, log_n)
+    z = (pow(tau, n, p) - 1) % p
+    n_inv = pow(n, -1, p)
+    out = []
+    wj = 1
+    for _ in range(n):
+        out.append(z * wj % p * pow((tau - wj) % p, -1, p) % p * n_inv % p)
+        wj = wj * w % p
+    return out
+
+
+def _col_evals(rows, lag: List[int], num_vars: int, p: int) -> List[int]:
+    """u_k(tau) = sum_j rows[j][k] * ell_j(tau) — sparse column sums."""
+    out = [0] * num_vars
+    for j, lc in enumerate(rows):
+        lj = lag[j]
+        for k, coeff in lc.terms.items():
+            out[k] = (out[k] + coeff * lj) % p
+    return out
+
+
+def _fixed_base_batch(curve, scalars: Sequence[int]) -> JPoint:
+    """[k_i * G] via one batched double-and-add scan on device.
+
+    Padded to the next power of two (min 8) so circuit sizes share compiled
+    kernels."""
+    n = len(scalars)
+    padded = max(8, 1 << (n - 1).bit_length())
+    ks = limb.pack(
+        curve.scalar, np.array(list(scalars) + [0] * (padded - n), dtype=object)
+    )
+    G = jac.generator(curve, (padded,))
+    out = jac.scalar_mul(curve, jnp.asarray(ks), G)
+    from ..curves.jacobian import field_ops
+
+    F = field_ops(curve)
+    return JPoint(*(F.slice_batch(v, 0, n) for v in out))
+
+
+def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
+    return [lc.eval(assignment, p) for lc in rows]
+
+
+# ---------------------------------------------------------------------------
+# the proof system
+# ---------------------------------------------------------------------------
+
+
+class Groth16:
+    """compile/prove/verify lifecycle (reference groth16.rs:405-467)."""
+
+    def __init__(self, pairing: PairingSpec = refpair.BLS12_381):
+        self.pairing = pairing
+        self.fr = pairing.g1.scalar
+
+    # -- compiler entry points (reference groth16.rs:417-425) --------------
+
+    def context_compiler(self) -> R1CSCompiler:
+        return R1CSCompiler.for_contexts(self.fr)
+
+    def proof_compiler(self) -> R1CSCompiler:
+        return R1CSCompiler.for_proofs(self.fr)
+
+    # -- setup --------------------------------------------------------------
+
+    def compile(self, cs: R1CS, rng) -> ProvingKey:
+        """Circuit-specific setup (toxic waste sampled from `rng`)."""
+        p = self.fr.modulus
+        g1, g2 = self.pairing.g1, self.pairing.g2
+
+        alpha, beta, gamma, delta, tau = (
+            rng.randrange(1, p) for _ in range(5)
+        )
+
+        rows_a, rows_b, rows_c = _qap_matrices(cs)
+        log_n = _domain_log2(len(rows_a))
+        n = 1 << log_n
+        num_vars = cs.num_variables
+        ni = cs.num_instance_total
+
+        lag = _lagrange_at(self.fr, log_n, tau)
+        u = _col_evals(rows_a, lag, num_vars, p)
+        v = _col_evals(rows_b, lag, num_vars, p)
+        w = _col_evals(rows_c, lag, num_vars, p)
+
+        gamma_inv = pow(gamma, -1, p)
+        delta_inv = pow(delta, -1, p)
+        abc = [(beta * u[k] + alpha * v[k] + w[k]) % p for k in range(num_vars)]
+        gamma_abc = [x * gamma_inv % p for x in abc[:ni]]
+        l_scalars = [x * delta_inv % p for x in abc[ni:]]
+
+        z_tau = (pow(tau, n, p) - 1) % p
+        h_scalars = [
+            pow(tau, i, p) * z_tau % p * delta_inv % p for i in range(n - 1)
+        ]
+
+        # group encodings — batched fixed-base scalar mul on device
+        a_query = _fixed_base_batch(g1, u)
+        b_g1_query = _fixed_base_batch(g1, v)
+        b_g2_query = _fixed_base_batch(g2, v)
+        h_query = _fixed_base_batch(g1, h_scalars)
+        l_query = _fixed_base_batch(g1, l_scalars)
+        gabc_pts = jac.to_affine_ints(g1, _fixed_base_batch(g1, gamma_abc))
+
+        G1, G2 = refc.generator(g1), refc.generator(g2)
+        vk = VerifyingKey(
+            pairing=self.pairing,
+            alpha_g1=refc.scalar_mul(g1, alpha, G1),
+            beta_g2=refc.scalar_mul(g2, beta, G2),
+            gamma_g2=refc.scalar_mul(g2, gamma, G2),
+            delta_g2=refc.scalar_mul(g2, delta, G2),
+            gamma_abc_g1=gabc_pts,
+        )
+        return ProvingKey(
+            pairing=self.pairing,
+            vk=vk,
+            beta_g1=refc.scalar_mul(g1, beta, G1),
+            delta_g1=refc.scalar_mul(g1, delta, G1),
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
+            domain_log2=log_n,
+            num_instance_total=ni,
+        )
+
+    # -- prove ---------------------------------------------------------------
+
+    def prove(self, pk: ProvingKey, cs: R1CS, rng) -> Proof:
+        p = self.fr.modulus
+        g1, g2 = self.pairing.g1, self.pairing.g2
+        z = cs.assignment()
+        num_vars = len(z)
+        ni = pk.num_instance_total
+        log_n = pk.domain_log2
+        n = 1 << log_n
+
+        # H(x) evaluations: u/v/w on the domain from the R1CS rows
+        rows_a, rows_b, rows_c = _qap_matrices(cs)
+        ue = _row_dot(rows_a, z, p) + [0] * (n - len(rows_a))
+        ve = _row_dot(rows_b, z, p) + [0] * (n - len(rows_b))
+        we = _row_dot(rows_c, z, p) + [0] * (n - len(rows_c))
+
+        fr = self.fr
+        ua = jnp.asarray(limb.pack_mont(fr, np.array(ue, dtype=object)))
+        va = jnp.asarray(limb.pack_mont(fr, np.array(ve, dtype=object)))
+        wa = jnp.asarray(limb.pack_mont(fr, np.array(we, dtype=object)))
+
+        # evals on H -> coeffs -> evals on coset gH
+        uc = nttmod.coset_ntt(fr, nttmod.intt(fr, ua))
+        vc = nttmod.coset_ntt(fr, nttmod.intt(fr, va))
+        wc = nttmod.coset_ntt(fr, nttmod.intt(fr, wa))
+        # h(g w^j) = (u v - w)(g w^j) / (g^n - 1)
+        g = nttmod.GENERATORS[fr.name]
+        zg_inv = pow((pow(g, n, p) - 1) % p, -1, p)
+        hc = limb.mont_mul(
+            fr,
+            limb.sub(fr, limb.mont_mul(fr, uc, vc), wc),
+            jnp.asarray(limb.pack_mont(fr, zg_inv)).reshape(fr.n_limbs, 1),
+        )
+        h_coeffs = nttmod.coset_intt(fr, hc)  # degree <= n-2; take n-1 coeffs
+        h_canon = limb.from_mont(fr, h_coeffs)[:, : n - 1]
+
+        # MSMs
+        z_limbs = jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
+        wit_limbs = z_limbs[:, ni:]
+
+        r, s = rng.randrange(p), rng.randrange(p)
+
+        a_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.a_query))
+        b1_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.b_g1_query))
+        b2_msm = jac.to_affine_ints(g2, msm(g2, z_limbs, pk.b_g2_query))
+        h_msm = jac.to_affine_ints(g1, msm(g1, h_canon, pk.h_query))
+        l_msm = (
+            jac.to_affine_ints(g1, msm(g1, wit_limbs, pk.l_query))
+            if wit_limbs.shape[1]
+            else None
+        )
+
+        G1a = refc.generator(g1)
+        # A = alpha + sum z_k u_k + r delta
+        A = refc.add(
+            g1,
+            refc.add(g1, pk.vk.alpha_g1, a_msm),
+            refc.scalar_mul(g1, r, pk.delta_g1),
+        )
+        # B (G2) = beta + sum z_k v_k + s delta ; B (G1) analogue for C
+        delta_g2 = pk.vk.delta_g2
+        B2 = refc.add(
+            g2,
+            refc.add(g2, pk.vk.beta_g2, b2_msm),
+            refc.scalar_mul(g2, s, delta_g2),
+        )
+        B1 = refc.add(
+            g1,
+            refc.add(g1, pk.beta_g1, b1_msm),
+            refc.scalar_mul(g1, s, pk.delta_g1),
+        )
+        # C = (L + H)/delta-part + s A + r B1 - r s delta
+        C = h_msm
+        if l_msm is not None:
+            C = refc.add(g1, C, l_msm)
+        C = refc.add(g1, C, refc.scalar_mul(g1, s, A))
+        C = refc.add(g1, C, refc.scalar_mul(g1, r, B1))
+        C = refc.add(
+            g1, C, refc.neg(g1, refc.scalar_mul(g1, r * s % p, pk.delta_g1))
+        )
+        return Proof(a=A, b=B2, c=C)
+
+    # -- verify ---------------------------------------------------------------
+
+    def verify(self, vk: VerifyingKey, public_inputs: Sequence[int], proof: Proof) -> bool:
+        """e(A,B) == e(alpha,beta) e(Ic,gamma) e(C,delta)
+        (reference groth16.rs:460-466 -> ark verify_with_processed_vk)."""
+        p = self.fr.modulus
+        g1 = self.pairing.g1
+        inputs = [1] + [x % p for x in public_inputs]
+        if len(inputs) != len(vk.gamma_abc_g1):
+            return False
+        ic = None
+        for a_i, P in zip(inputs, vk.gamma_abc_g1):
+            ic = refc.add(g1, ic, refc.scalar_mul(g1, a_i, P))
+        # product form: e(-A,B) e(alpha,beta) e(Ic,gamma) e(C,delta) == 1
+        return refpair.pairing_product_is_one(
+            self.pairing,
+            [
+                (refc.neg(g1, proof.a), proof.b),
+                (vk.alpha_g1, vk.beta_g2),
+                (ic, vk.gamma_g2),
+                (proof.c, vk.delta_g2),
+            ],
+        )

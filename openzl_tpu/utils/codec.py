@@ -1,0 +1,237 @@
+"""Canonical serialization (reference openzl-util/src/codec.rs and the ark
+bridges in plugins/arkworks/src/serialize.rs:21-141).
+
+Byte layout follows arkworks v0.3 CanonicalSerialize so persistent objects
+(proofs, keys, parameters) interoperate:
+  * field elements: little-endian canonical bytes, padded to 64-bit limb
+    granularity (32 bytes for 254/255-bit fields, 48 for BLS12-381 Fq)
+  * short-Weierstrass points, compressed: x-coordinate bytes with flags in
+    the top bits of the LAST byte — bit 6 = infinity, bit 7 = y is the
+    lexicographically larger square root (ark-serialize SWFlags)
+  * Fq2: c0 then c1 (flags on c1's last byte for G2 points)
+  * Vec<T>: u64 little-endian length prefix, then elements
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+from ..curves.spec import CurveSpec
+from ..fields.spec import FieldSpec
+
+_INFINITY_FLAG = 1 << 6
+_LARGEST_Y_FLAG = 1 << 7
+
+
+# ---------------------------------------------------------------------------
+# field elements
+# ---------------------------------------------------------------------------
+
+
+def field_to_bytes(spec: FieldSpec, x: int) -> bytes:
+    return (x % spec.modulus).to_bytes(spec.n_bytes, "little")
+
+
+def field_from_bytes(spec: FieldSpec, data: bytes) -> int:
+    assert len(data) == spec.n_bytes
+    x = int.from_bytes(data, "little")
+    assert x < spec.modulus, "non-canonical field encoding"
+    return x
+
+
+def _is_largest_y(spec: FieldSpec, y: int) -> bool:
+    return y > spec.modulus - y
+
+
+# ---------------------------------------------------------------------------
+# curve points (affine int coords for G1; (c0, c1) pairs for G2)
+# ---------------------------------------------------------------------------
+
+
+def point_to_bytes(curve: CurveSpec, pt, compressed: bool = True) -> bytes:
+    spec = curve.base
+    nb = spec.n_bytes
+
+    def coord_bytes(c) -> bytearray:
+        if curve.ext == 1:
+            return bytearray(field_to_bytes(spec, c))
+        return bytearray(
+            field_to_bytes(spec, c[0]) + field_to_bytes(spec, c[1])
+        )
+
+    if pt is None:
+        zero = 0 if curve.ext == 1 else (0, 0)
+        out = coord_bytes(zero)
+        if not compressed:
+            out += coord_bytes(zero)
+        out[-1] |= _INFINITY_FLAG
+        return bytes(out)
+
+    x, y = pt
+    out = coord_bytes(x)
+    if compressed:
+        if curve.ext == 1:
+            y_big = _is_largest_y(spec, y)
+        else:  # Fq2 sign: c1 decides unless zero, then c0 (ark convention)
+            y_big = (
+                _is_largest_y(spec, y[1])
+                if y[1] != 0
+                else _is_largest_y(spec, y[0])
+            )
+        if y_big:
+            out[-1] |= _LARGEST_Y_FLAG
+    else:
+        out += coord_bytes(y)
+    return bytes(out)
+
+
+def _sqrt_mod(spec: FieldSpec, a: int) -> Optional[int]:
+    p = spec.modulus
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    # Tonelli-Shanks
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, r = t * c % p, r * b % p
+    return r
+
+
+def point_from_bytes(curve: CurveSpec, data: bytes):
+    """Compressed decoding with on-curve check (G1 only for ext reasons:
+    G2 decompression needs an Fq2 square root — supported below)."""
+    spec = curve.base
+    nb = spec.n_bytes * curve.ext
+    raw = bytearray(data[:nb])
+    flags = raw[-1] & 0xC0
+    raw[-1] &= 0x3F
+    if flags & _INFINITY_FLAG:
+        return None
+    if curve.ext == 1:
+        x = field_from_bytes(spec, bytes(raw))
+        y2 = (x * x * x + curve.a * x + curve.b) % spec.modulus
+        y = _sqrt_mod(spec, y2)
+        assert y is not None, "x not on curve"
+        if _is_largest_y(spec, y) != bool(flags & _LARGEST_Y_FLAG):
+            y = spec.modulus - y
+        return (x, y)
+    # ext == 2
+    from ..ref import fields as tf
+
+    p = spec.modulus
+    x = (
+        field_from_bytes(spec, bytes(raw[: spec.n_bytes])),
+        field_from_bytes(spec, bytes(raw[spec.n_bytes :])),
+    )
+    rhs = tf.f2_add(p, tf.f2_mul(p, tf.f2_mul(p, x, x), x), curve.b)
+    y = _f2_sqrt(spec, rhs)
+    assert y is not None, "x not on curve (G2)"
+    flag_bit = bool(flags & _LARGEST_Y_FLAG)
+    y_big = _is_largest_y(spec, y[1]) if y[1] != 0 else _is_largest_y(spec, y[0])
+    if y_big != flag_bit:
+        y = tf.f2_neg(p, y)
+    return (x, y)
+
+
+def _f2_sqrt(spec: FieldSpec, a) -> Optional[Tuple[int, int]]:
+    """Square root in Fp2 = Fp[u]/(u^2+1) via norm descent."""
+    from ..ref import fields as tf
+
+    p = spec.modulus
+    if a == (0, 0):
+        return (0, 0)
+    a0, a1 = a
+    if a1 == 0:
+        r = _sqrt_mod(spec, a0)
+        if r is not None:
+            return (r, 0)
+        # sqrt of non-residue: a0 = -(b^2) -> sqrt = b*u
+        r = _sqrt_mod(spec, (-a0) % p)
+        return None if r is None else (0, r)
+    # norm = a0^2 + a1^2 must be a QR in Fp
+    norm = (a0 * a0 + a1 * a1) % p
+    n = _sqrt_mod(spec, norm)
+    if n is None:
+        return None
+    inv2 = pow(2, -1, p)
+    for sign in (1, -1):
+        c0 = (a0 + sign * n) % p * inv2 % p
+        x0 = _sqrt_mod(spec, c0)
+        if x0 is None or x0 == 0:
+            continue
+        x1 = a1 * pow(2 * x0, -1, p) % p
+        cand = (x0, x1)
+        if tf.f2_mul(p, cand, cand) == (a0 % p, a1 % p):
+            return cand
+    return None
+
+
+# ---------------------------------------------------------------------------
+# compound writers (Vec with u64 LE length prefix, ark convention)
+# ---------------------------------------------------------------------------
+
+
+class Writer:
+    def __init__(self):
+        self.buf = io.BytesIO()
+
+    def bytes_(self, b: bytes):
+        self.buf.write(b)
+
+    def u64(self, n: int):
+        self.buf.write(int(n).to_bytes(8, "little"))
+
+    def field(self, spec: FieldSpec, x: int):
+        self.buf.write(field_to_bytes(spec, x))
+
+    def point(self, curve: CurveSpec, pt, compressed=True):
+        self.buf.write(point_to_bytes(curve, pt, compressed))
+
+    def vec(self, items, write_item):
+        self.u64(len(items))
+        for item in items:
+            write_item(item)
+
+    def getvalue(self) -> bytes:
+        return self.buf.getvalue()
+
+
+class Reader:
+    def __init__(self, data: bytes):
+        self.buf = io.BytesIO(data)
+
+    def bytes_(self, n: int) -> bytes:
+        out = self.buf.read(n)
+        assert len(out) == n, "unexpected end of input"
+        return out
+
+    def u64(self) -> int:
+        return int.from_bytes(self.bytes_(8), "little")
+
+    def field(self, spec: FieldSpec) -> int:
+        return field_from_bytes(spec, self.bytes_(spec.n_bytes))
+
+    def point(self, curve: CurveSpec):
+        return point_from_bytes(
+            curve, self.bytes_(curve.base.n_bytes * curve.ext)
+        )
+
+    def vec(self, read_item) -> List:
+        return [read_item() for _ in range(self.u64())]

@@ -1,17 +1,34 @@
-"""Test configuration: force the CPU backend with an 8-device virtual mesh.
+"""Test configuration: force a CPU backend with an 8-device virtual mesh.
 
-Multi-chip sharding logic is validated on virtual CPU devices; real-TPU
-benchmarking happens in bench.py (driver-run). Must run before jax imports.
+This image's `sitecustomize` registers the axon TPU backend in EVERY Python
+process (and pins JAX_PLATFORMS=axon) before conftest runs, so an in-process
+override is impossible — tests would otherwise serialize through the single
+TPU tunnel and contend with any other JAX process. Fix: re-exec pytest once
+with the axon trigger env (`PALLAS_AXON_POOL_IPS`) scrubbed; the re-exec'd
+process gets a clean 8-virtual-device CPU JAX.
+
+Multi-chip sharding logic is validated on the virtual CPU devices; real-TPU
+verification happens via tools/verify_drive*.py and bench.py (run serially,
+one JAX process at a time).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.execvpe(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        env,
+    )
 
 import jax  # noqa: E402
 

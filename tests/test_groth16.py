@@ -1,0 +1,93 @@
+"""Groth16 end-to-end: prove/verify round trip, fuzzed rejection,
+serialization, and the eclair Poseidon-preimage circuit (BASELINE.md
+config: proof of knowledge of a Poseidon preimage)."""
+
+import random
+
+import pytest
+
+from openzl_tpu.crypto.constraint import InputBuilder, verify_fuzz_public_input
+from openzl_tpu.crypto.poseidon import gadget as poseidon_gadget
+from openzl_tpu.proof_systems import Groth16, Proof, VerifyingKey
+from openzl_tpu.ref import pairing as refpair
+from openzl_tpu.ref.poseidon import PoseidonParams
+from openzl_tpu.utils.rand import fuzz_vector
+
+RNG = random.Random(0x616)
+
+
+@pytest.fixture(scope="module", params=["bls12_381", "bn254"])
+def g16(request):
+    spec = refpair.BLS12_381 if request.param == "bls12_381" else refpair.BN254
+    return Groth16(spec)
+
+
+def build_cubic(com, x=None, y=None):
+    """public y, secret x, assert x^3 = y."""
+    yv = com.public_input(y)
+    xv = com.secret_witness(x)
+    com.assert_eq(com.mul(com.mul(xv, xv), xv), yv)
+    return com
+
+
+def test_groth16_cubic_roundtrip(g16):
+    p = g16.fr.modulus
+    x = RNG.randrange(p)
+    y = pow(x, 3, p)
+    pk = g16.compile(build_cubic(g16.context_compiler()).cs, RNG)
+    prove_cs = build_cubic(g16.proof_compiler(), x, y).cs
+    assert prove_cs.is_satisfied()
+    proof = g16.prove(pk, prove_cs, RNG)
+    assert g16.verify(pk.vk, [y], proof)
+    # fuzzed public inputs must fail (reference constraint.rs:384-405)
+    assert verify_fuzz_public_input(
+        g16, pk.vk, [y], proof, lambda v: fuzz_vector(g16.fr, v, RNG), rounds=3
+    )
+    # wrong-length input rejected
+    assert not g16.verify(pk.vk, [], proof)
+
+
+def test_groth16_serialization_roundtrip(g16):
+    p = g16.fr.modulus
+    x = RNG.randrange(p)
+    y = pow(x, 3, p)
+    pk = g16.compile(build_cubic(g16.context_compiler()).cs, RNG)
+    proof = g16.prove(pk, build_cubic(g16.proof_compiler(), x, y).cs, RNG)
+
+    blob = proof.to_bytes(g16.pairing)
+    proof2 = Proof.from_bytes(g16.pairing, blob)
+    assert proof2.a == proof.a and proof2.b == proof.b and proof2.c == proof.c
+
+    vk_blob = pk.vk.to_bytes()
+    vk2 = VerifyingKey.from_bytes(g16.pairing, vk_blob)
+    assert vk2.gamma_abc_g1 == pk.vk.gamma_abc_g1
+    assert g16.verify(vk2, [y], proof2)
+
+
+def test_groth16_poseidon_preimage():
+    """The BASELINE.md headline circuit: prove knowledge of (a, b) with
+    Poseidon(a, b) = h, h public."""
+    g16 = Groth16(refpair.BLS12_381)
+    params = PoseidonParams.generate(g16.fr, 3, 8, 55)
+
+    def build(com, preimage=None, digest=None):
+        h = com.public_input(digest)
+        a = com.secret_witness(None if preimage is None else preimage[0])
+        b = com.secret_witness(None if preimage is None else preimage[1])
+        com.assert_eq(poseidon_gadget.hash(com, params, [a, b]), h)
+        return com
+
+    from openzl_tpu.eclair import NativeCompiler
+    from openzl_tpu.ref import poseidon as refposeidon
+
+    pre = [RNG.randrange(g16.fr.modulus) for _ in range(2)]
+    digest = refposeidon.hash(params, pre)
+
+    pk = g16.compile(build(g16.context_compiler()).cs, RNG)
+    prove_cs = build(g16.proof_compiler(), pre, digest).cs
+    assert prove_cs.is_satisfied()
+    proof = g16.prove(pk, prove_cs, RNG)
+
+    inputs = InputBuilder(g16.fr.modulus).extend_field(digest).build()
+    assert g16.verify(pk.vk, inputs, proof)
+    assert not g16.verify(pk.vk, [(digest + 1) % g16.fr.modulus], proof)
