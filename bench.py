@@ -20,7 +20,7 @@ import numpy as np
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/openzl_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/openzl_tpu_jax_cache_axon")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from openzl_tpu.crypto.poseidon.permutation import Poseidon
@@ -49,7 +49,7 @@ def main() -> None:
     try:
         from openzl_tpu.ops import poseidon_kernel as pk
 
-        lanes = pk.to_lanes(state)
+        lanes = tuple(pk.to_lanes(state))
 
         @jax.jit
         def chained(ls):

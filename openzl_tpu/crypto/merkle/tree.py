@@ -197,6 +197,9 @@ def _build_level(parameters: MerkleParameters, level: jnp.ndarray) -> jnp.ndarra
 
     Odd trailing node is joined with the zero sentinel; fully absent subtrees
     are never hashed (their digest is the sentinel itself).
+
+    Wide levels (the bulk-build hot path) run through the Pallas VMEM kernel
+    on TPU; narrow levels and other backends use the jnp path.
     """
     m = level.shape[1]
     if m == 0:
@@ -205,5 +208,10 @@ def _build_level(parameters: MerkleParameters, level: jnp.ndarray) -> jnp.ndarra
         level = jnp.concatenate(
             [level, jnp.zeros((level.shape[0], 1), dtype=level.dtype)], axis=1
         )
-    pairs = level.reshape(level.shape[0], -1, 2)  # (n, m/2, 2)
-    return parameters.poseidon.hash(jnp.swapaxes(pairs, 1, 2))  # (n, m/2)
+    pairs = jnp.swapaxes(level.reshape(level.shape[0], -1, 2), 1, 2)  # (n,2,m/2)
+    n_pairs = pairs.shape[2]
+    if n_pairs % 4096 == 0 and jax.default_backend() == "tpu":
+        from ...ops import poseidon_kernel
+
+        return poseidon_kernel.hash_batch(parameters.poseidon, pairs)
+    return parameters.poseidon.hash(pairs)  # (n, m/2)

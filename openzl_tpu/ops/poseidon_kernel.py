@@ -188,9 +188,17 @@ def from_lanes(lanes):
     return jnp.stack(outs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=0, static_argnames=("interpret",))
 def permute_lanes(perm: Poseidon, lanes, interpret: bool = False):
-    """Permutation in kernel layout: width-list of (n_blocks, n, S, L)."""
+    """Permutation in kernel layout: width-tuple of (n_blocks, n, S, L).
+
+    Accepts any sequence; always passes/returns a TUPLE so chained calls hit
+    one jit trace (a list input and tuple output would retrace every call).
+    """
+    return _permute_lanes_jit(perm, tuple(lanes), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnums=0, static_argnames=("interpret",))
+def _permute_lanes_jit(perm: Poseidon, lanes, interpret: bool = False):
     n_blocks, n, S, L = lanes[0].shape
     width = perm.width
     p_arr = jnp.asarray(perm.spec.p_limbs)[:, None, None]
@@ -200,7 +208,7 @@ def permute_lanes(perm: Poseidon, lanes, interpret: bool = False):
     lane_spec = pl.BlockSpec(
         (1, n, S, L), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, perm),
         out_shape=[jax.ShapeDtypeStruct((n_blocks, n, S, L), jnp.uint32)]
         * width,
@@ -209,6 +217,7 @@ def permute_lanes(perm: Poseidon, lanes, interpret: bool = False):
         out_specs=[lane_spec] * width,
         interpret=interpret,
     )(p_arr, keys, mds, *lanes)
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2), static_argnames=("interpret",))

@@ -102,6 +102,7 @@ class ProvingKey:
     l_query: JPoint  # (num_witness,) (beta u + alpha v + w)/delta G1
     domain_log2: int
     num_instance_total: int
+    host: bool = False  # queries held as affine host points (tiny circuits)
 
 
 @dataclasses.dataclass
@@ -179,6 +180,12 @@ def _col_evals(rows, lag: List[int], num_vars: int, p: int) -> List[int]:
     return out
 
 
+def _fixed_base_host(curve, scalars: Sequence[int]):
+    """Host-oracle fixed-base scalars -> list of affine points."""
+    G = refc.generator(curve)
+    return [refc.scalar_mul(curve, k, G) for k in scalars]
+
+
 def _fixed_base_batch(curve, scalars: Sequence[int]) -> JPoint:
     """[k_i * G] via one batched double-and-add scan on device.
 
@@ -207,11 +214,26 @@ def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
 
 
 class Groth16:
-    """compile/prove/verify lifecycle (reference groth16.rs:405-467)."""
+    """compile/prove/verify lifecycle (reference groth16.rs:405-467).
 
-    def __init__(self, pairing: PairingSpec = refpair.BLS12_381):
+    backend: "device" runs query generation and the proving MSMs on TPU
+    (batched scalar-mul scans + Pippenger kernels), "host" uses the Python
+    EC oracle, "auto" picks host below 512 variables — tiny circuits are
+    dominated by kernel compile time, not arithmetic; the device kernels
+    are covered by their own tests/benches at scale."""
+
+    def __init__(
+        self, pairing: PairingSpec = refpair.BLS12_381, backend: str = "auto"
+    ):
         self.pairing = pairing
         self.fr = pairing.g1.scalar
+        assert backend in ("auto", "host", "device")
+        self.backend = backend
+
+    def _use_host(self, num_vars: int) -> bool:
+        if self.backend == "auto":
+            return num_vars < 512
+        return self.backend == "host"
 
     # -- compiler entry points (reference groth16.rs:417-425) --------------
 
@@ -254,13 +276,20 @@ class Groth16:
             pow(tau, i, p) * z_tau % p * delta_inv % p for i in range(n - 1)
         ]
 
-        # group encodings — batched fixed-base scalar mul on device
-        a_query = _fixed_base_batch(g1, u)
-        b_g1_query = _fixed_base_batch(g1, v)
-        b_g2_query = _fixed_base_batch(g2, v)
-        h_query = _fixed_base_batch(g1, h_scalars)
-        l_query = _fixed_base_batch(g1, l_scalars)
-        gabc_pts = jac.to_affine_ints(g1, _fixed_base_batch(g1, gamma_abc))
+        # group encodings — batched fixed-base scalar mul (device or host)
+        host = self._use_host(num_vars)
+        fixed = _fixed_base_host if host else _fixed_base_batch
+        a_query = fixed(g1, u)
+        b_g1_query = fixed(g1, v)
+        b_g2_query = fixed(g2, v)
+        h_query = fixed(g1, h_scalars)
+        l_query = fixed(g1, l_scalars)
+        if host:
+            gabc_pts = [
+                refc.scalar_mul(g1, k, refc.generator(g1)) for k in gamma_abc
+            ]
+        else:
+            gabc_pts = jac.to_affine_ints(g1, _fixed_base_batch(g1, gamma_abc))
 
         G1, G2 = refc.generator(g1), refc.generator(g2)
         vk = VerifyingKey(
@@ -283,6 +312,7 @@ class Groth16:
             l_query=l_query,
             domain_log2=log_n,
             num_instance_total=ni,
+            host=host,
         )
 
     # -- prove ---------------------------------------------------------------
@@ -322,21 +352,29 @@ class Groth16:
         h_coeffs = nttmod.coset_intt(fr, hc)  # degree <= n-2; take n-1 coeffs
         h_canon = limb.from_mont(fr, h_coeffs)[:, : n - 1]
 
-        # MSMs
-        z_limbs = jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
-        wit_limbs = z_limbs[:, ni:]
-
         r, s = rng.randrange(p), rng.randrange(p)
 
-        a_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.a_query))
-        b1_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.b_g1_query))
-        b2_msm = jac.to_affine_ints(g2, msm(g2, z_limbs, pk.b_g2_query))
-        h_msm = jac.to_affine_ints(g1, msm(g1, h_canon, pk.h_query))
-        l_msm = (
-            jac.to_affine_ints(g1, msm(g1, wit_limbs, pk.l_query))
-            if wit_limbs.shape[1]
-            else None
-        )
+        if pk.host:
+            h_ints = [
+                int(v) for v in limb.unpack(fr, np.asarray(h_canon))
+            ]
+            a_msm = refc.msm(g1, z, pk.a_query)
+            b1_msm = refc.msm(g1, z, pk.b_g1_query)
+            b2_msm = refc.msm(g2, z, pk.b_g2_query)
+            h_msm = refc.msm(g1, h_ints, pk.h_query)
+            l_msm = refc.msm(g1, z[ni:], pk.l_query) if z[ni:] else None
+        else:
+            z_limbs = jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
+            wit_limbs = z_limbs[:, ni:]
+            a_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.a_query))
+            b1_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.b_g1_query))
+            b2_msm = jac.to_affine_ints(g2, msm(g2, z_limbs, pk.b_g2_query))
+            h_msm = jac.to_affine_ints(g1, msm(g1, h_canon, pk.h_query))
+            l_msm = (
+                jac.to_affine_ints(g1, msm(g1, wit_limbs, pk.l_query))
+                if wit_limbs.shape[1]
+                else None
+            )
 
         G1a = refc.generator(g1)
         # A = alpha + sum z_k u_k + r delta

@@ -25,6 +25,7 @@ def test_generator_on_curve(curve):
     assert bool(np.asarray(jac.is_on_curve(curve, G))[0])
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
 def test_add_double_vs_oracle(curve):
     pts = rand_points(curve, 4)
@@ -42,6 +43,7 @@ def test_add_double_vs_oracle(curve):
         assert got_dbl[i] == ref.add(curve, p, p), f"dbl lane {i}"
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("curve", [BN254_G1, BLS12_381_G2], ids=lambda c: c.name)
 def test_scalar_mul_vs_oracle(curve):
     pts = rand_points(curve, 3)
@@ -53,6 +55,7 @@ def test_scalar_mul_vs_oracle(curve):
         assert got[i] == ref.scalar_mul(curve, k, p), f"lane {i}"
 
 
+@pytest.mark.heavy
 def test_scalar_mul_group_order():
     curve = BN254_G1
     P = jac.generator(curve, (1,))

@@ -6,6 +6,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from openzl_tpu.crypto.constraint import InputBuilder, verify_fuzz_public_input
 from openzl_tpu.crypto.poseidon import gadget as poseidon_gadget
 from openzl_tpu.proof_systems import Groth16, Proof, VerifyingKey

@@ -5,6 +5,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from openzl_tpu.curves import BLS12_381_G1, BN254_G1, BN254_G2
 from openzl_tpu.curves import jacobian as jac
 from openzl_tpu.fields import limb

@@ -45,6 +45,7 @@ def test_sharded_poseidon_matches_single_chip():
     assert np.array_equal(single, multi)
 
 
+@pytest.mark.heavy
 @needs_8
 def test_sharded_msm_matches_oracle():
     curve = BN254_G1
