@@ -94,6 +94,13 @@ def _k_mont_mul(p, n0inv, a, b):
         for j in range(n):
             cols[i + j] = cols[i + j] + (prod[j] & _MASK)
             cols[i + j + 1] = cols[i + j + 1] + (prod[j] >> LIMB_BITS)
+    return _mont_reduce(p, n0inv, cols, zero)
+
+
+def _mont_reduce(p, n0inv, cols, zero):
+    """Shared Montgomery reduction over lazy u32 columns (phase 2 of
+    _k_mont_mul), cols list of length 2n+1."""
+    n = p.shape[0]
     carry = zero
     for i in range(n):
         ci = cols[i] + carry
@@ -113,9 +120,33 @@ def _k_mont_mul(p, n0inv, a, b):
     return _cond_sub_p(p, jnp.stack(outs))
 
 
+def _k_mont_sqr(p, n0inv, a):
+    """Montgomery square: off-diagonal limb products are computed once and
+    the accumulated columns doubled, ~n^2/2 muls vs n^2 for _k_mont_mul.
+
+    Overflow: off-diagonal column accumulates <= n/2 split halves (< 2^16
+    each) so doubling stays far below 2^32."""
+    n = a.shape[0]
+    batch = a.shape[1:]
+    zero = jnp.zeros(batch, dtype=jnp.uint32)
+    off = [zero] * (2 * n + 1)  # strictly i<j products, to be doubled
+    for i in range(n - 1):
+        prod = a[i] * a[i + 1 :]  # (n-i-1, *batch), pairs (i, j>i)
+        for k in range(prod.shape[0]):
+            j = i + 1 + k
+            off[i + j] = off[i + j] + (prod[k] & _MASK)
+            off[i + j + 1] = off[i + j + 1] + (prod[k] >> LIMB_BITS)
+    cols = [c + c for c in off]
+    for i in range(n):  # diagonal a_i^2
+        sq = a[i] * a[i]
+        cols[2 * i] = cols[2 * i] + (sq & _MASK)
+        cols[2 * i + 1] = cols[2 * i + 1] + (sq >> LIMB_BITS)
+    return _mont_reduce(p, n0inv, cols, zero)
+
+
 def _k_pow5(p, n0inv, a):
-    a2 = _k_mont_mul(p, n0inv, a, a)
-    a4 = _k_mont_mul(p, n0inv, a2, a2)
+    a2 = _k_mont_sqr(p, n0inv, a)
+    a4 = _k_mont_sqr(p, n0inv, a2)
     return _k_mont_mul(p, n0inv, a4, a)
 
 
@@ -160,6 +191,72 @@ def _kernel(perm: Poseidon, *refs):
     st = lax.fori_loop(0, half, full_round, st)
     st = lax.fori_loop(half, mid, partial_round, st)
     st = lax.fori_loop(mid, perm.rounds, full_round, st)
+    for w in range(width):
+        out_refs[w][0] = st[w]
+
+
+def _kernel_opt(perm: Poseidon, *refs):
+    """Optimized Poseidon rounds (sparse partial layers, post-sbox keys).
+
+    Bit-identical to `_kernel`; partial rounds cost 2w-1 montmuls instead of
+    w^2 (+ w sbox muls). Parameter derivation: crypto/poseidon/{mds.py,
+    preprocessing.py} (reference openzl-crypto/src/poseidon/mds.rs,
+    preprocessing.rs)."""
+    width = perm.width
+    (p_ref, mds_ref, pre_ref, init_ref, fkeys_ref, pkeys_ref, what_ref,
+     vrest_ref) = refs[:8]
+    in_refs = refs[8 : 8 + width]
+    out_refs = refs[8 + width :]
+
+    p = p_ref[:]  # (n, 1, 1)
+    mds = mds_ref[:]  # (w, w, n, 1, 1)
+    pre = pre_ref[:]
+    n0inv = np.uint32(perm.spec.n0inv)
+    half = perm.full_rounds // 2
+
+    def mat_left(mat, xs):
+        # out_j = sum_i xs[i] * mat[i, j] (row-vector-at-left convention of
+        # the optimized derivation; the dense MDS is symmetric)
+        out = []
+        for j in range(width):
+            acc = _k_mont_mul(p, n0inv, xs[0], mat[0, j])
+            for i in range(1, width):
+                acc = _k_add(p, acc, _k_mont_mul(p, n0inv, xs[i], mat[i, j]))
+            out.append(acc)
+        return out
+
+    def full_round(r, st):
+        kr = fkeys_ref[r]  # (w, n, 1, 1)
+        xs = [_k_add(p, _k_pow5(p, n0inv, st[w]), kr[w]) for w in range(width)]
+        return tuple(mat_left(mds, xs))
+
+    def partial_round(r, st):
+        x0 = _k_add(p, _k_pow5(p, n0inv, st[0]), pkeys_ref[r])
+        wh = what_ref[r]  # (w, n, 1, 1)
+        vr = vrest_ref[r]  # (w-1, n, 1, 1)
+        out0 = _k_mont_mul(p, n0inv, x0, wh[0])
+        for i in range(1, width):
+            out0 = _k_add(p, out0, _k_mont_mul(p, n0inv, st[i], wh[i]))
+        rest = [
+            _k_add(p, st[j], _k_mont_mul(p, n0inv, x0, vr[j - 1]))
+            for j in range(1, width)
+        ]
+        return (out0, *rest)
+
+    st = tuple(ref[0] for ref in in_refs)  # each (n, S, L)
+    init = init_ref[:]
+    st = tuple(_k_add(p, st[w], init[w]) for w in range(width))
+    st = lax.fori_loop(0, half - 1, full_round, st)
+    # boundary full round: post-add keys then the pre-sparse matrix
+    kr = fkeys_ref[half - 1]
+    st = tuple(
+        _k_add(p, _k_pow5(p, n0inv, st[w]), kr[w]) for w in range(width)
+    )
+    st = tuple(mat_left(pre, st))
+    st = lax.fori_loop(0, perm.partial_rounds, partial_round, st)
+    st = lax.fori_loop(half, perm.full_rounds - 1, full_round, st)
+    # final full round: no constants
+    st = tuple(mat_left(mds, [_k_pow5(p, n0inv, x) for x in st]))
     for w in range(width):
         out_refs[w][0] = st[w]
 
@@ -217,6 +314,41 @@ def _permute_lanes_jit(perm: Poseidon, lanes, interpret: bool = False):
         out_specs=[lane_spec] * width,
         interpret=interpret,
     )(p_arr, keys, mds, *lanes)
+    return tuple(out)
+
+
+def permute_lanes_opt(perm: Poseidon, lanes, interpret: bool = False):
+    """Optimized-rounds permutation in kernel layout (see permute_lanes)."""
+    return _permute_lanes_opt_jit(perm, tuple(lanes), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnums=0, static_argnames=("interpret",))
+def _permute_lanes_opt_jit(perm: Poseidon, lanes, interpret: bool = False):
+    n_blocks, n, S, L = lanes[0].shape
+    width = perm.width
+    bc = lambda a, k: jnp.asarray(a).reshape(a.shape + (1,) * k)  # noqa: E731
+    p_arr = bc(perm.spec.p_limbs, 2)
+    # (w, w, n, 1, 1): mat[i][j] indexed [i, j]
+    mds = bc(np.moveaxis(perm.mds, 0, 2), 2)
+    pre = bc(np.moveaxis(perm.opt_pre_sparse, 0, 2), 2)
+    init = bc(np.moveaxis(perm.opt_initial, 0, 1), 2)  # (w, n, 1, 1)
+    fkeys = bc(np.swapaxes(perm.opt_full_keys, 1, 2), 2)  # (R_F-1, w, n,1,1)
+    pkeys = bc(perm.opt_partial_keys, 2)  # (R_P, n, 1, 1)
+    what = bc(np.swapaxes(perm.opt_w_hat, 1, 2), 2)  # (R_P, w, n, 1, 1)
+    vrest = bc(np.swapaxes(perm.opt_v_rest, 1, 2), 2)  # (R_P, w-1, n, 1, 1)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec(
+        (1, n, S, L), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_opt, perm),
+        out_shape=[jax.ShapeDtypeStruct((n_blocks, n, S, L), jnp.uint32)]
+        * width,
+        grid=(n_blocks,),
+        in_specs=[small] * 8 + [lane_spec] * width,
+        out_specs=[lane_spec] * width,
+        interpret=interpret,
+    )(p_arr, mds, pre, init, fkeys, pkeys, what, vrest, *lanes)
     return tuple(out)
 
 

@@ -36,6 +36,7 @@ from ..fields import limb
 from ..fields.spec import FieldSpec
 from ..ops import ntt as nttmod
 from ..ops.msm import msm
+from ..ops.sparse import SparseFieldMatrix
 from ..ref import curve as refc
 from ..ref import pairing as refpair
 from ..ref.pairing import PairingSpec
@@ -103,6 +104,27 @@ class ProvingKey:
     domain_log2: int
     num_instance_total: int
     host: bool = False  # queries held as affine host points (tiny circuits)
+    # Device-resident sparse QAP matrices built at compile time; prove()
+    # reuses them (the constraint STRUCTURE is mode-independent — setup
+    # synthesis must produce the same rows, as in arkworks). Not serialized.
+    prepared: Optional["PreparedCircuit"] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PreparedCircuit:
+    """Sparse A/B/C (rows padded to the FFT domain) + transposes, as
+    device-resident Montgomery COO (ops/sparse.py). Building this is the
+    only O(nnz) python-loop cost; every matvec after it runs on device."""
+
+    a: "SparseFieldMatrix"
+    b: "SparseFieldMatrix"
+    c: "SparseFieldMatrix"
+    at: "SparseFieldMatrix"
+    bt: "SparseFieldMatrix"
+    ct: "SparseFieldMatrix"
+    log_n: int
+    num_vars: int
+    num_instance_total: int
 
 
 @dataclasses.dataclass
@@ -245,6 +267,23 @@ class Groth16:
 
     # -- setup --------------------------------------------------------------
 
+    def prepare(self, cs: R1CS) -> PreparedCircuit:
+        """Build device-resident sparse QAP matrices for `cs` (one-time
+        O(nnz) python cost; reused by compile and every prove)."""
+        rows_a, rows_b, rows_c = _qap_matrices(cs)
+        log_n = _domain_log2(len(rows_a))
+        n = 1 << log_n
+        num_vars = cs.num_variables
+        mats = [
+            SparseFieldMatrix.from_lincombs(self.fr, rows, n, num_vars)
+            for rows in (rows_a, rows_b, rows_c)
+        ]
+        return PreparedCircuit(
+            *mats, *(m.transpose() for m in mats),
+            log_n=log_n, num_vars=num_vars,
+            num_instance_total=cs.num_instance_total,
+        )
+
     def compile(self, cs: R1CS, rng) -> ProvingKey:
         """Circuit-specific setup (toxic waste sampled from `rng`)."""
         p = self.fr.modulus
@@ -261,9 +300,22 @@ class Groth16:
         ni = cs.num_instance_total
 
         lag = _lagrange_at(self.fr, log_n, tau)
-        u = _col_evals(rows_a, lag, num_vars, p)
-        v = _col_evals(rows_b, lag, num_vars, p)
-        w = _col_evals(rows_c, lag, num_vars, p)
+        host = self._use_host(num_vars)
+        prepared = None
+        if host:
+            u = _col_evals(rows_a, lag, num_vars, p)
+            v = _col_evals(rows_b, lag, num_vars, p)
+            w = _col_evals(rows_c, lag, num_vars, p)
+        else:
+            # u_k(tau) = (M^T lag)_k on device; one matvec per matrix
+            prepared = self.prepare(cs)
+            lag_mont = jnp.asarray(
+                limb.pack_mont(self.fr, np.array(lag, dtype=object))
+            )
+            u, v, w = (
+                [int(x) for x in limb.unpack_mont(self.fr, np.asarray(m.matvec(lag_mont)))]
+                for m in (prepared.at, prepared.bt, prepared.ct)
+            )
 
         gamma_inv = pow(gamma, -1, p)
         delta_inv = pow(delta, -1, p)
@@ -277,7 +329,6 @@ class Groth16:
         ]
 
         # group encodings — batched fixed-base scalar mul (device or host)
-        host = self._use_host(num_vars)
         fixed = _fixed_base_host if host else _fixed_base_batch
         a_query = fixed(g1, u)
         b_g1_query = fixed(g1, v)
@@ -313,11 +364,18 @@ class Groth16:
             domain_log2=log_n,
             num_instance_total=ni,
             host=host,
+            prepared=prepared,
         )
 
     # -- prove ---------------------------------------------------------------
 
-    def prove(self, pk: ProvingKey, cs: R1CS, rng) -> Proof:
+    def prove(
+        self,
+        pk: ProvingKey,
+        cs: R1CS,
+        rng,
+        prepared: Optional[PreparedCircuit] = None,
+    ) -> Proof:
         p = self.fr.modulus
         g1, g2 = self.pairing.g1, self.pairing.g2
         z = cs.assignment()
@@ -325,17 +383,25 @@ class Groth16:
         ni = pk.num_instance_total
         log_n = pk.domain_log2
         n = 1 << log_n
-
-        # H(x) evaluations: u/v/w on the domain from the R1CS rows
-        rows_a, rows_b, rows_c = _qap_matrices(cs)
-        ue = _row_dot(rows_a, z, p) + [0] * (n - len(rows_a))
-        ve = _row_dot(rows_b, z, p) + [0] * (n - len(rows_b))
-        we = _row_dot(rows_c, z, p) + [0] * (n - len(rows_c))
-
         fr = self.fr
-        ua = jnp.asarray(limb.pack_mont(fr, np.array(ue, dtype=object)))
-        va = jnp.asarray(limb.pack_mont(fr, np.array(ve, dtype=object)))
-        wa = jnp.asarray(limb.pack_mont(fr, np.array(we, dtype=object)))
+
+        # H(x) evaluations: u/v/w = (A z, B z, C z) on the domain
+        if pk.host:
+            rows_a, rows_b, rows_c = _qap_matrices(cs)
+            ue = _row_dot(rows_a, z, p) + [0] * (n - len(rows_a))
+            ve = _row_dot(rows_b, z, p) + [0] * (n - len(rows_b))
+            we = _row_dot(rows_c, z, p) + [0] * (n - len(rows_c))
+            ua = jnp.asarray(limb.pack_mont(fr, np.array(ue, dtype=object)))
+            va = jnp.asarray(limb.pack_mont(fr, np.array(ve, dtype=object)))
+            wa = jnp.asarray(limb.pack_mont(fr, np.array(we, dtype=object)))
+        else:
+            prepared = prepared or pk.prepared
+            if prepared is None or prepared.num_vars != num_vars:
+                prepared = self.prepare(cs)
+            z_mont = jnp.asarray(limb.pack_mont(fr, np.array(z, dtype=object)))
+            ua = prepared.a.matvec(z_mont)
+            va = prepared.b.matvec(z_mont)
+            wa = prepared.c.matvec(z_mont)
 
         # evals on H -> coeffs -> evals on coset gH
         uc = nttmod.coset_ntt(fr, nttmod.intt(fr, ua))

@@ -93,3 +93,31 @@ def test_groth16_poseidon_preimage():
     inputs = InputBuilder(g16.fr.modulus).extend_field(digest).build()
     assert g16.verify(pk.vk, inputs, proof)
     assert not g16.verify(pk.vk, [(digest + 1) % g16.fr.modulus], proof)
+
+
+def test_groth16_device_backend_e2e():
+    """The TPU prove pipeline end-to-end: device NTT + sparse matvec + MSMs
+    (backend='device' forces every tiny-circuit heuristic off)."""
+    g16 = Groth16(refpair.BN254, backend="device")
+    params = PoseidonParams.generate(g16.fr, 3, 8, 55)
+
+    def build(com, preimage=None, digest=None):
+        h = com.public_input(digest)
+        a = com.secret_witness(None if preimage is None else preimage[0])
+        b = com.secret_witness(None if preimage is None else preimage[1])
+        com.assert_eq(poseidon_gadget.hash(com, params, [a, b]), h)
+        return com
+
+    from openzl_tpu.ref import poseidon as refposeidon
+
+    pre = [RNG.randrange(g16.fr.modulus) for _ in range(2)]
+    digest = refposeidon.hash(params, pre)
+
+    pk = g16.compile(build(g16.context_compiler()).cs, RNG)
+    assert pk.prepared is not None and not pk.host
+    prove_cs = build(g16.proof_compiler(), pre, digest).cs
+    proof = g16.prove(pk, prove_cs, RNG)
+
+    inputs = InputBuilder(g16.fr.modulus).extend_field(digest).build()
+    assert g16.verify(pk.vk, inputs, proof)
+    assert not g16.verify(pk.vk, [(digest + 1) % g16.fr.modulus], proof)
