@@ -6,10 +6,13 @@ Layer map (mirrors the reference's tiers, SURVEY.md section 1):
                                 checkpoint
   eclair/                   L3  circuit IR: one gadget description under
                                 Native / JAX / R1CS compilers
-  crypto/                   L4  gadget layer: poseidon, merkle, accumulator,
-                                sponge/duplex AEAD, encryption (+hybrid),
-                                signature (Schnorr), key agreement, algebra,
-                                password, constraint facade
+  crypto/                   L4  gadget layer: poseidon (+optimized rounds),
+                                poseidon2, merkle (dense/partial/single-path
+                                + fork/forest), accumulator, sponge/duplex
+                                AEAD, encryption (+hybrid, converters),
+                                signature (Schnorr, COM-generic EdSchnorr),
+                                in-circuit EC (ec_gadget), key agreement,
+                                algebra, password, constraint facade
   curves/ ops/              L0  batched Jacobian curve ops (G1/G2), MSM,
                                 NTT — the arkworks-equivalent math engines
   proof_systems/            L2  Groth16 (compile / prove / verify)

@@ -77,3 +77,95 @@ class MerkleTreeAccumulator:
 
     def verify(self, item: int, proof: MembershipProof) -> bool:
         return proof.witness.verify(proof.output, self._digest(item))
+
+
+class OptimizedMerkleAccumulator(MerkleTreeAccumulator):
+    """Accumulator with storage-optimized inserts over the partial tree.
+
+    Reference parity: `OptimizedAccumulator::insert_nonprovable` +
+    `remove_path` (accumulator.rs:96-123,153-206) — items inserted
+    non-provably never hold proof storage, and `remove_path` releases an
+    item's storage once every older item is also released (the partial tree
+    trims contiguous prefixes; reference `Partial` behaves the same by
+    dropping the non-provable prefix).
+    """
+
+    def __init__(self, parameters: MerkleParameters):
+        from .merkle.partial import PartialMerkleTree
+
+        self.parameters = parameters
+        self.tree = PartialMerkleTree.empty(parameters)
+        self._index = {}
+        self._removed = set()
+
+    def insert(self, item: int) -> bool:
+        if len(self.tree) >= self.parameters.capacity:
+            return False
+        key = item % self.parameters.spec.modulus
+        self._index.setdefault(key, len(self.tree))
+        self.tree = self.tree.push(self._digest(item))
+        return True
+
+    def insert_nonprovable(self, item: int) -> bool:
+        """Insert without retaining proof capability (accumulator.rs:99-113:
+        default falls back to `insert`; optimized impls drop the data)."""
+        if not self.insert(item):
+            return False
+        self._removed.add(len(self.tree) - 1)
+        self._trim_contiguous()
+        return True
+
+    def remove_path(self, item: int) -> bool:
+        """Drop the proof storage for `item` (accumulator.rs:131-151).
+
+        Returns True when the storage is (now) droppable — storage is
+        physically reclaimed once the removed set forms a contiguous prefix.
+        """
+        pos = self.position(item)
+        if pos is None or pos < self.tree.starting_leaf_index:
+            return False
+        self._removed.add(pos)
+        self._trim_contiguous()
+        return True
+
+    def _trim_contiguous(self) -> None:
+        start = self.tree.starting_leaf_index
+        while start < len(self.tree) and start in self._removed:
+            self._removed.discard(start)
+            start += 1
+        if start != self.tree.starting_leaf_index:
+            self.tree = self.tree.trim(start)
+
+    def prove(self, item: int) -> Optional[MembershipProof]:
+        pos = self.position(item)
+        if pos is None or pos < self.tree.starting_leaf_index:
+            return None
+        return MembershipProof(self.tree.path(pos), self.tree.root())
+
+
+# ---------------------------------------------------------------------------
+# reusable test framework (reference accumulator.rs:313-365, exported for
+# downstream users behind `feature = "test"`)
+# ---------------------------------------------------------------------------
+
+
+def assert_provable_membership(accumulator, items) -> np.ndarray:
+    """Insert `items`, then prove+verify membership of each against the
+    final output; returns that output (accumulator.rs:313-341)."""
+    for item in items:
+        assert accumulator.insert(item), "insertion failed"
+    root = accumulator.root()
+    for item in items:
+        proof = accumulator.prove(item)
+        assert proof is not None, "missing membership proof"
+        assert accumulator.verify(item, proof), "membership proof rejected"
+    return root
+
+
+def assert_unique_outputs(acc_a, items_a, acc_b, items_b) -> None:
+    """Accumulators over different item sets must produce different outputs
+    (accumulator.rs:343-365)."""
+    out_a = assert_provable_membership(acc_a, items_a)
+    out_b = assert_provable_membership(acc_b, items_b)
+    if list(items_a) != list(items_b):
+        assert not np.array_equal(np.asarray(out_a), np.asarray(out_b))

@@ -99,3 +99,83 @@ def _fold_root(
         rhs = limb.select(bit, acc, sib)
         acc = parameters.join(lhs, rhs)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# CurrentPath — the right-most path with O(height) state and update-on-push
+# (reference openzl-crypto/src/merkle_tree/path.rs:778-913)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CurrentPath:
+    """Compressed right-most path: per level, the pending LEFT child digest.
+
+    From `frontier` + `count` both the root and the current leaf's membership
+    path are derivable; `push` updates in O(height) joins. This is the
+    O(height)-memory engine behind the single-path and partial storage
+    variants (reference path.rs:778-913 CurrentPath, update-on-push at
+    879+; same frontier idea as incremental deposit trees).
+    """
+
+    parameters: MerkleParameters
+    count: int
+    frontier: tuple  # per level 0..height-2: np (n_limbs,) last left child
+    root_digest: np.ndarray  # (n_limbs,)
+
+    @classmethod
+    def empty(cls, parameters: MerkleParameters) -> "CurrentPath":
+        n = parameters.spec.n_limbs
+        zero = np.zeros(n, dtype=np.uint32)
+        return cls(
+            parameters,
+            0,
+            tuple(zero for _ in range(parameters.height - 1)),
+            zero.copy(),
+        )
+
+    @property
+    def leaf_index(self) -> int:
+        assert self.count > 0
+        return self.count - 1
+
+    def _join(self, lhs: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        if hasattr(self.parameters, "join_ints"):
+            return self.parameters.join_ints(lhs, rhs)
+        out = self.parameters.join(
+            jnp.asarray(lhs.reshape(-1, 1)), jnp.asarray(rhs.reshape(-1, 1))
+        )
+        return np.asarray(out)[:, 0]
+
+    def push(self, leaf_digest: np.ndarray) -> "CurrentPath":
+        """Append a leaf: O(height) joins, matching the dense tree's root
+        (zero sentinels stand in for absent right subtrees)."""
+        idx = self.count
+        assert idx < self.parameters.capacity
+        node = np.asarray(leaf_digest)
+        zero = np.zeros(self.parameters.spec.n_limbs, dtype=np.uint32)
+        frontier = list(self.frontier)
+        for level in range(self.parameters.height - 1):
+            if (idx >> level) & 1 == 0:
+                frontier[level] = node
+                node = self._join(node, zero)
+            else:
+                node = self._join(frontier[level], node)
+        return CurrentPath(self.parameters, idx + 1, tuple(frontier), node)
+
+    def current_path(self) -> MerklePath:
+        """Membership path of the most recent leaf (absent siblings = zero)."""
+        assert self.count > 0
+        idx = self.leaf_index
+        zero = np.zeros(self.parameters.spec.n_limbs, dtype=np.uint32)
+        sibling = self.frontier[0] if idx & 1 else zero
+        inner = []
+        for level in range(1, self.parameters.height - 1):
+            node = idx >> level
+            inner.append(self.frontier[level] if node & 1 else zero)
+        inner_arr = (
+            np.stack(inner, axis=1)
+            if inner
+            else np.zeros((self.parameters.spec.n_limbs, 0), dtype=np.uint32)
+        )
+        return MerklePath(self.parameters, idx, sibling, inner_arr)

@@ -63,6 +63,30 @@ class MerkleParameters:
 
     join_leaves = join
 
+    @functools.cached_property
+    def _int_params(self):
+        from ...ref import poseidon as refposeidon
+
+        perm = self.poseidon
+        return refposeidon.PoseidonParams.generate(
+            self.spec, perm.width, perm.full_rounds, perm.partial_rounds
+        )
+
+    def join_ints(self, lhs: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        """Single-pair join on the HOST python-int oracle.
+
+        For batch-1 joins (incremental CurrentPath pushes) the device path
+        is strictly worse: per-call dispatch overhead dominates and every
+        new shape costs an XLA compile. Bit-identical to `join` (the oracle
+        is golden-vector pinned)."""
+        from ...fields import limb as limb_mod
+        from ...ref import poseidon as refposeidon
+
+        li = int(limb_mod.unpack_mont(self.spec, np.asarray(lhs)))
+        ri = int(limb_mod.unpack_mont(self.spec, np.asarray(rhs)))
+        out = refposeidon.hash(self._int_params, [li, ri])
+        return limb_mod.pack_mont(self.spec, out)
+
     def digest(self, leaf: jnp.ndarray) -> jnp.ndarray:
         return leaf
 
@@ -158,7 +182,7 @@ class MerkleTree:
         for level in range(1, self.parameters.height):
             parent_start = start >> 1
             dirty = current[:, parent_start * 2 :]
-            rebuilt = np.asarray(_build_level(self.parameters, jnp.asarray(dirty)))
+            rebuilt = _build_level_bucketed(self.parameters, dirty)
             prev = self.levels[level][:, :parent_start]
             new_level = np.concatenate([prev, rebuilt], axis=1)
             new_levels.append(new_level)
@@ -191,6 +215,30 @@ class MerkleTree:
         return MerklePath(self.parameters, index, sibling_leaf, inner_arr)
 
 
+def _build_level_bucketed(
+    parameters: MerkleParameters, dirty: np.ndarray
+) -> np.ndarray:
+    """`_build_level` with the width padded to a power of two.
+
+    Incremental pushes produce dirty suffixes of arbitrary width; hashing
+    them directly would re-trace `_build_level` for every distinct width
+    (a recompile per insert at a new size). Padding to pow2 buckets bounds
+    the trace count at log2(capacity) per level while hashing at most 2x
+    the needed pairs; the padded outputs are sliced away.
+    """
+    w = dirty.shape[1]
+    if w == 0:
+        return dirty
+    W = 1 << max(1, (w - 1).bit_length())
+    if W != w:
+        dirty = np.concatenate(
+            [dirty, np.zeros((dirty.shape[0], W - w), dtype=dirty.dtype)],
+            axis=1,
+        )
+    rebuilt = np.asarray(_build_level(parameters, jnp.asarray(dirty)))
+    return rebuilt[:, : (w + 1) // 2]
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _build_level(parameters: MerkleParameters, level: jnp.ndarray) -> jnp.ndarray:
     """Hash pairs of an occupied-level array into the parent level.
@@ -210,8 +258,12 @@ def _build_level(parameters: MerkleParameters, level: jnp.ndarray) -> jnp.ndarra
         )
     pairs = jnp.swapaxes(level.reshape(level.shape[0], -1, 2), 1, 2)  # (n,2,m/2)
     n_pairs = pairs.shape[2]
-    if n_pairs % 4096 == 0 and jax.default_backend() == "tpu":
+    if (
+        n_pairs % 4096 == 0
+        and jax.default_backend() == "tpu"
+        and hasattr(parameters, "poseidon")
+    ):
         from ...ops import poseidon_kernel
 
         return poseidon_kernel.hash_batch(parameters.poseidon, pairs)
-    return parameters.poseidon.hash(pairs)  # (n, m/2)
+    return parameters.join(pairs[:, 0], pairs[:, 1])  # (n, m/2)

@@ -112,3 +112,37 @@ REGISTRY = {
 
 def get_curve(name: str) -> CurveSpec:
     return REGISTRY[name]
+
+
+def toy_curve() -> CurveSpec:
+    """A 2-limb short-Weierstrass curve for compile-bound test paths.
+
+    XLA:CPU compiles of the 24-limb production EC graphs take minutes per
+    executable on small hosts; this 32-bit curve (p = 2^32 - 5, y^2 = x^3 +
+    7) drives the IDENTICAL jac/msm/shard_map code with ~16x smaller graphs,
+    so multichip dryruns and fast-suite collective tests stay tractable.
+    NOT cryptographically meaningful; scalars must stay below the (unknown)
+    group order — keep them tiny.
+    """
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def build():
+        # 2^31 - 1 (Mersenne): p % 4 == 3 so sqrt = pow((p+1)/4), and the
+        # top 16-bit limb keeps the headroom the lazy limb scheme assumes
+        # (a full-width top limb overflows carries out of the array)
+        p = (1 << 31) - 1
+        field = FieldSpec(name="toy_fp32", modulus=p)
+        x = 2
+        while True:
+            rhs = (x * x * x + 7) % p
+            y = pow(rhs, (p + 1) // 4, p)
+            if y * y % p == rhs:
+                break
+            x += 1
+        return CurveSpec(
+            name="toy_g1", base=field, scalar=field, a=0, b=7,
+            gen_x=x, gen_y=y,
+        )
+
+    return build()

@@ -117,6 +117,10 @@ class NativeCompiler:
 
     # bits (eclair/src/bool.rs:83-109 BitDecomposition, num.rs range assert)
     def to_bits_le(self, a, n_bits: int):
+        # Semantic parity with the R1CS compiler: a partial decomposition
+        # there is unsatisfiable when a >= 2^n_bits, so native execution
+        # must fail too rather than silently truncate.
+        assert 0 <= a < (1 << n_bits), f"{a} exceeds {n_bits} bits"
         return [bool((a >> i) & 1) for i in range(n_bits)]
 
     def from_bits_le(self, bits):

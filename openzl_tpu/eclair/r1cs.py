@@ -105,11 +105,13 @@ class R1CS:
         return self.mode is SynthesisMode.SETUP
 
     def alloc_instance(self, value: Optional[int]) -> int:
-        """Public-input column; returns the global column index."""
-        # witness column indices are assigned after all instance columns, so
-        # instances must be allocated first (the reference's input-then-logic
-        # convention; Groth16 QAP indexing relies on it)
-        assert self.num_witness == 0, "allocate public inputs before witnesses"
+        """Public-input column; returns its key (1..num_instance).
+
+        Instances and witnesses may be allocated in ANY order (matching the
+        reference, which supports arbitrary interleaving): witness keys are
+        provisional negative ints, mapped to their final global columns —
+        after all instance columns — by `column`/`remap` at export time.
+        """
         self.num_instance += 1
         if not self.is_setup:
             assert value is not None, "prove mode requires assigned values"
@@ -117,11 +119,23 @@ class R1CS:
         return self.num_instance  # columns 1..num_instance
 
     def alloc_witness(self, value: Optional[int]) -> int:
+        """Witness column; returns a provisional key -(j+1) for witness j."""
         self.num_witness += 1
         if not self.is_setup:
             assert value is not None, "prove mode requires assigned values"
             self.witness_values.append(value % self.p)
-        return self.num_instance_total + self.num_witness - 1
+        return -self.num_witness
+
+    def column(self, key: int) -> int:
+        """Final global column of a variable key: [ONE, instances, witnesses]."""
+        return key if key >= 0 else self.num_instance_total + (-key - 1)
+
+    def remap(self, lc: LinComb) -> LinComb:
+        """LinComb with provisional keys resolved to global columns."""
+        return LinComb({self.column(k): v for k, v in lc.terms.items()})
+
+    def eval_lc(self, lc: LinComb, z: List[int]) -> int:
+        return sum(c * z[self.column(i)] for i, c in lc.terms.items()) % self.p
 
     @property
     def num_instance_total(self) -> int:
@@ -131,11 +145,6 @@ class R1CS:
     @property
     def num_variables(self) -> int:
         return self.num_instance_total + self.num_witness
-
-    # NOTE: witness columns shift as instances are allocated *only if*
-    # instances are allocated after witnesses. The compiler allocates all
-    # public inputs before any witness-producing op, matching the reference's
-    # input-then-logic convention; `finalize` asserts this stayed true.
 
     # ------------------------------------------------------------------
     # constraints
@@ -161,7 +170,8 @@ class R1CS:
         z = self.assignment()
         p = self.p
         return all(
-            (a.eval(z, p) * b.eval(z, p) - c.eval(z, p)) % p == 0
+            (self.eval_lc(a, z) * self.eval_lc(b, z) - self.eval_lc(c, z)) % p
+            == 0
             for a, b, c in self.constraints
         )
 
@@ -169,7 +179,9 @@ class R1CS:
         z = self.assignment()
         p = self.p
         for i, (a, b, c) in enumerate(self.constraints):
-            if (a.eval(z, p) * b.eval(z, p) - c.eval(z, p)) % p != 0:
+            if (
+                self.eval_lc(a, z) * self.eval_lc(b, z) - self.eval_lc(c, z)
+            ) % p != 0:
                 return i
         return None
 
@@ -185,7 +197,7 @@ class R1CS:
             for r, trip in enumerate(self.constraints):
                 for col, coeff in pick(trip).terms.items():
                     rows.append(r)
-                    cols.append(col)
+                    cols.append(self.column(col))
                     vals.append(coeff)
             return (
                 np.array(rows, dtype=np.int64),

@@ -27,6 +27,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..fields import limb
 from ..fields.spec import FieldSpec
@@ -58,13 +59,14 @@ def group_gen(spec: FieldSpec, log_n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _plan(spec: FieldSpec, log_n: int, inverse: bool):
-    """(bit_rev_index, per-stage twiddle arrays, n_inv) — host-side, cached."""
+    """(bit_rev_index, root-power table W[j] = w^j for j < n/2, n_inv).
+
+    Host-side, cached per (field, size, direction)."""
     n = 1 << log_n
     p = spec.modulus
     w = group_gen(spec, log_n)
     if inverse:
         w = pow(w, -1, p)
-    # bit reversal permutation
     rev = np.zeros(n, dtype=np.int32)
     for i in range(n):
         r = 0
@@ -73,44 +75,54 @@ def _plan(spec: FieldSpec, log_n: int, inverse: bool):
             r = (r << 1) | (x & 1)
             x >>= 1
         rev[i] = r
-    # stage twiddles: stage s has half-block m = 2^s, twiddles w_m^j,
-    # w_m = w^(n / 2m)
-    stages = []
-    for s in range(log_n):
-        m = 1 << s
-        wm = pow(w, n // (2 * m), p)
-        tw = [1] * m
-        for j in range(1, m):
-            tw[j] = tw[j - 1] * wm % p
-        stages.append(limb.pack_mont(spec, np.array(tw, dtype=object)))
+    pows = [1] * max(1, n // 2)
+    for j in range(1, n // 2):
+        pows[j] = pows[j - 1] * w % p
+    table = limb.pack_mont(spec, np.array(pows, dtype=object))
     n_inv = limb.pack_mont(spec, pow(n, -1, p))
-    return rev, tuple(stages), n_inv
-
-
-def _butterflies(spec: FieldSpec, x: jnp.ndarray, stages) -> jnp.ndarray:
-    """x: (n_limbs, N, *batch) in bit-reversed order -> natural-order NTT."""
-    n = x.shape[1]
-    batch = x.shape[2:]
-    for s, tw in enumerate(stages):
-        m = 1 << s
-        blocks = n // (2 * m)
-        v = x.reshape((spec.n_limbs, blocks, 2, m) + batch)
-        u, t = v[:, :, 0], v[:, :, 1]
-        twb = jnp.asarray(tw).reshape((spec.n_limbs, 1, m) + (1,) * len(batch))
-        t = limb.mont_mul(spec, t, twb)
-        lo = limb.add(spec, u, t)
-        hi = limb.sub(spec, u, t)
-        x = jnp.stack([lo, hi], axis=2).reshape((spec.n_limbs, n) + batch)
-    return x
+    return rev, table, n_inv
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _ntt_core(spec: FieldSpec, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Constant-geometry (Pease) decimation-in-frequency butterflies.
+
+    Every stage has IDENTICAL data movement — split halves, butterfly,
+    interleave — so all log2(N) stages run under one `lax.scan` body and the
+    compiled graph is O(one stage) instead of O(N-log-N unrolled): at
+    N = 2^18 this cut XLA compile time from ~25 minutes to seconds while
+    keeping the same butterfly count.
+
+    Stage s pairs (x[k], x[k+N/2]), writes (u+t) to slot 2k and
+    (u-t) * w^e(k,s) to slot 2k+1, with the closed-form twiddle exponent
+    e(k, s) = k & ~(2^s - 1) (gathered from the root-power table). After
+    all stages the array is in bit-reversed order; one gather restores
+    natural order. Verified bit-exact against the naive DFT
+    (tests/test_ntt.py).
+    """
     n = x.shape[1]
+    if n == 1:
+        return x
     log_n = n.bit_length() - 1
-    rev, stages, n_inv = _plan(spec, log_n, inverse)
+    rev, table, n_inv = _plan(spec, log_n, inverse)
+    batch = x.shape[2:]
+    half = n // 2
+    table = jnp.asarray(table)
+    iota = jnp.arange(half, dtype=jnp.int32)
+
+    def stage(xc, s):
+        u, t = xc[:, :half], xc[:, half:]
+        e = iota & ~(jnp.left_shift(jnp.int32(1), s) - 1)
+        tw = table[:, e].reshape((spec.n_limbs, half) + (1,) * len(batch))
+        lo = limb.add(spec, u, t)
+        hi = limb.mont_mul(spec, limb.sub(spec, u, t), tw)
+        out = jnp.stack([lo, hi], axis=2).reshape(
+            (spec.n_limbs, n) + batch
+        )
+        return out, None
+
+    x, _ = lax.scan(stage, x, jnp.arange(log_n, dtype=jnp.int32))
     x = jnp.take(x, jnp.asarray(rev), axis=1)
-    x = _butterflies(spec, x, stages)
     if inverse:
         scale = jnp.asarray(n_inv).reshape(
             (spec.n_limbs,) + (1,) * (x.ndim - 1)

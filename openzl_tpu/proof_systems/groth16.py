@@ -160,10 +160,14 @@ class Proof:
 
 
 def _qap_matrices(cs: R1CS):
-    """A/B/C rows incl. the ark-style instance-binding rows."""
-    rows_a = [a for a, _, _ in cs.constraints]
-    rows_b = [b for _, b, _ in cs.constraints]
-    rows_c = [c for _, _, c in cs.constraints]
+    """A/B/C rows incl. the ark-style instance-binding rows.
+
+    Rows are remapped to FINAL global columns (witness keys inside the
+    compiler are provisional negatives so inputs/witnesses can interleave,
+    r1cs.py:alloc_witness)."""
+    rows_a = [cs.remap(a) for a, _, _ in cs.constraints]
+    rows_b = [cs.remap(b) for _, b, _ in cs.constraints]
+    rows_c = [cs.remap(c) for _, _, c in cs.constraints]
     from ..eclair.r1cs import LinComb
 
     for i in range(cs.num_instance_total):

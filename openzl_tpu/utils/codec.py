@@ -24,6 +24,16 @@ _INFINITY_FLAG = 1 << 6
 _LARGEST_Y_FLAG = 1 << 7
 
 
+class DecodeError(ValueError):
+    """Malformed serialized input.
+
+    The reference codec returns `Result`s on decode failures
+    (openzl-util/src/codec.rs Read/Decode error channels); the Python
+    analogue is a typed exception callers can catch — malformed bytes must
+    never abort the process via bare asserts.
+    """
+
+
 # ---------------------------------------------------------------------------
 # field elements
 # ---------------------------------------------------------------------------
@@ -34,9 +44,13 @@ def field_to_bytes(spec: FieldSpec, x: int) -> bytes:
 
 
 def field_from_bytes(spec: FieldSpec, data: bytes) -> int:
-    assert len(data) == spec.n_bytes
+    if len(data) != spec.n_bytes:
+        raise DecodeError(
+            f"expected {spec.n_bytes} bytes, got {len(data)}"
+        )
     x = int.from_bytes(data, "little")
-    assert x < spec.modulus, "non-canonical field encoding"
+    if x >= spec.modulus:
+        raise DecodeError("non-canonical field encoding")
     return x
 
 
@@ -128,7 +142,8 @@ def point_from_bytes(curve: CurveSpec, data: bytes):
         x = field_from_bytes(spec, bytes(raw))
         y2 = (x * x * x + curve.a * x + curve.b) % spec.modulus
         y = _sqrt_mod(spec, y2)
-        assert y is not None, "x not on curve"
+        if y is None:
+            raise DecodeError("x not on curve")
         if _is_largest_y(spec, y) != bool(flags & _LARGEST_Y_FLAG):
             y = spec.modulus - y
         return (x, y)
@@ -142,7 +157,8 @@ def point_from_bytes(curve: CurveSpec, data: bytes):
     )
     rhs = tf.f2_add(p, tf.f2_mul(p, tf.f2_mul(p, x, x), x), curve.b)
     y = _f2_sqrt(spec, rhs)
-    assert y is not None, "x not on curve (G2)"
+    if y is None:
+        raise DecodeError("x not on curve (G2)")
     flag_bit = bool(flags & _LARGEST_Y_FLAG)
     y_big = _is_largest_y(spec, y[1]) if y[1] != 0 else _is_largest_y(spec, y[0])
     if y_big != flag_bit:
@@ -219,7 +235,8 @@ class Reader:
 
     def bytes_(self, n: int) -> bytes:
         out = self.buf.read(n)
-        assert len(out) == n, "unexpected end of input"
+        if len(out) != n:
+            raise DecodeError("unexpected end of input")
         return out
 
     def u64(self) -> int:

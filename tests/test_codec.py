@@ -5,6 +5,7 @@ import random
 import tempfile
 
 import numpy as np
+import pytest
 
 from openzl_tpu.curves import BLS12_381_G1, BLS12_381_G2, BN254_G1
 from openzl_tpu.crypto.merkle.tree import MerkleParameters, MerkleTree
@@ -64,3 +65,70 @@ def test_merkle_checkpoint_roundtrip():
     assert np.array_equal(
         np.asarray(tree.push(nxt).root()), np.asarray(back.push(nxt).root())
     )
+
+
+# ---------------------------------------------------------------------------
+# decode errors (reference codec returns Results: openzl-util/src/codec.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_errors_are_typed():
+    from openzl_tpu.utils.codec import DecodeError, Reader, field_from_bytes
+
+    with pytest.raises(DecodeError):
+        field_from_bytes(BN254_FR, b"\xff" * BN254_FR.n_bytes)  # >= modulus
+    with pytest.raises(DecodeError):
+        field_from_bytes(BN254_FR, b"\x01" * 7)  # wrong length
+    with pytest.raises(DecodeError):
+        Reader(b"123").u64()  # truncated input
+    # off-curve x must raise: each lsb perturbation has ~50% odds of
+    # leaving the curve, so one of a handful must fail
+    from openzl_tpu.utils.codec import point_from_bytes, point_to_bytes
+
+    good = point_to_bytes(BLS12_381_G1, refc.generator(BLS12_381_G1))
+    saw_reject = False
+    for delta in range(1, 9):
+        bad = bytearray(good)
+        bad[0] ^= delta
+        try:
+            point_from_bytes(BLS12_381_G1, bytes(bad))
+        except DecodeError:
+            saw_reject = True
+            break
+    assert saw_reject, "no off-curve x rejected"
+
+
+# ---------------------------------------------------------------------------
+# external interop fixture: the standard zcash-format BLS12-381 G1 generator
+# ---------------------------------------------------------------------------
+
+
+def test_bls12_381_generator_matches_public_encoding():
+    """Cross-implementation anchor: the universally published zcash-format
+    compressed encoding of the BLS12-381 G1 generator. Decoding it (big-
+    endian x, flag bits 0xE0 in the first byte) must yield exactly our
+    generator's coordinates — validating curve constants and y-recovery
+    against an external artifact (BASELINE.md config 5 interop intent)."""
+    from openzl_tpu.curves.spec import BLS12_381_G1
+    from openzl_tpu.ref import curve as refc
+    from openzl_tpu.utils.codec import _sqrt_mod
+
+    zcash_hex = (
+        "97f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905"
+        "a14e3a3f171bac586c55e83ff97a1aeffb3af00adb22c6bb"
+    )
+    raw = bytearray.fromhex(zcash_hex)
+    assert raw[0] & 0x80, "compressed flag"
+    assert not raw[0] & 0x40, "not infinity"
+    y_is_lexicographically_largest = bool(raw[0] & 0x20)
+    raw[0] &= 0x1F
+    spec = BLS12_381_G1.base
+    x = int.from_bytes(bytes(raw), "big")
+    gx, gy = refc.generator(BLS12_381_G1)
+    assert x == gx, "generator x mismatch vs public encoding"
+    y2 = (x * x * x + BLS12_381_G1.b) % spec.modulus
+    y = _sqrt_mod(spec, y2)
+    assert y is not None
+    if (y > spec.modulus - y) != y_is_lexicographically_largest:
+        y = spec.modulus - y
+    assert y == gy, "generator y mismatch vs public encoding"

@@ -202,3 +202,35 @@ def test_password_hash():
     assert hasher.verify(b"hunter2", b"salt", d)
     assert not hasher.verify(b"hunter3", b"salt", d)
     assert not hasher.verify(b"hunter2", b"pepper", d)
+
+
+def test_converted_scheme_roundtrip():
+    """Converter adapters (reference encryption/convert/*): encrypt a
+    structured value through a field-element scheme via plaintext
+    converters; key conversion derives the field key from bytes."""
+    from openzl_tpu.crypto.encryption.convert import ConvertedScheme
+
+    base = PoseidonAEAD(SPEC, n_blocks=1)
+
+    def encode(s: bytes):
+        # two field elements per block (message_len == 2)
+        return [int.from_bytes(s[:16], "little"), int.from_bytes(s[16:32], "little")]
+
+    def decode(fields):
+        return bytes(
+            b
+            for x, n in zip(fields, (16, 16))
+            for b in int(x).to_bytes(n, "little")
+        ).rstrip(b"\0")
+
+    scheme = ConvertedScheme(
+        base,
+        forward_plaintext=encode,
+        reverse_plaintext=decode,
+        forward_key=lambda kb: [int.from_bytes(kb, "little") % SPEC.modulus],
+    )
+    key = b"\x07" * 24
+    msg = b"hello converted world"
+    ct = scheme.encrypt(key, [], msg)
+    assert scheme.decrypt(key, ct) == msg
+    assert scheme.decrypt(b"\x08" * 24, ct) is None

@@ -1,0 +1,225 @@
+"""In-circuit EC gadgets + COM-generic Schnorr.
+
+Native/R1CS agreement is the core property: the same gadget code runs under
+NativeCompiler (producing ints checked against curves/edwards.py) and under
+R1CSCompiler (producing a satisfiable system); reference parity targets
+openzl-crypto/src/algebra/mod.rs:128-235 (Window::scalar_mul),
+plugins/arkworks/src/algebra.rs (ScalarVar), signature/mod.rs:196-330.
+"""
+
+import random
+
+import pytest
+
+from openzl_tpu.crypto import ec_gadget as ecg
+from openzl_tpu.crypto.signature.schnorr import (
+    EdSchnorr,
+    verification_circuit,
+)
+from openzl_tpu.curves import edwards as ed
+from openzl_tpu.eclair.compilers import NativeCompiler, R1CSCompiler
+from openzl_tpu.eclair.gadgets import U8, UnsignedInteger, select_from_table
+
+RNG = random.Random(0xEC)
+
+
+class TestSelectFromTable:
+    def test_native_all_indices(self):
+        com = NativeCompiler(ed.BABY_JUBJUB.base)
+        table = [com.constant(10 + i) for i in range(8)]
+        for idx in range(8):
+            bits = com.to_bits_le(idx, 3)
+            assert select_from_table(com, bits, table) == 10 + idx
+
+    def test_r1cs_matches_native(self):
+        spec = ed.BABY_JUBJUB.base
+        for idx in (0, 3, 7):
+            com = R1CSCompiler.for_proofs(spec)
+            iv = com.secret_witness(idx)
+            bits = com.to_bits_le(iv, 3)
+            table = [com.constant(100 + i) for i in range(8)]
+            out = select_from_table(com, bits, table)
+            com.assert_eq(out, com.constant(100 + idx))
+            assert com.cs.is_satisfied()
+
+    def test_log_depth_constraint_count(self):
+        spec = ed.BABY_JUBJUB.base
+        com = R1CSCompiler.for_proofs(spec)
+        bits = com.to_bits_le(com.secret_witness(5), 3)
+        base = com.cs.num_constraints
+        rng = random.Random(1)
+        table = [com.constant(rng.randrange(spec.modulus)) for i in range(8)]
+        out = select_from_table(com, bits, table)
+        # first select level pairs constants (difference folds into the
+        # linear combination, 0 constraints); levels 2..k pay one each:
+        # 2^(k-1) - 1 = 3 — tighter than the reference's 2^k - 1
+        assert com.cs.num_constraints - base == 3
+        com.assert_eq(out, table[5])
+        assert com.cs.is_satisfied()
+
+
+class TestUnsignedInteger:
+    def test_native_wrapping_add(self):
+        com = NativeCompiler(ed.BABY_JUBJUB.base)
+        a = U8.new(com, com.constant(200))
+        b = U8.new(com, com.constant(100))
+        assert a.add(com, b).var == (200 + 100) % 256
+        assert a.add_checked(com, U8.new(com, com.constant(50))).var == 250
+
+    def test_native_mul_and_shifts(self):
+        com = NativeCompiler(ed.BABY_JUBJUB.base)
+        a = UnsignedInteger.new(com, com.constant(0b1101_0110), 8)
+        assert a.shr(com, 3).var == 0b11010
+        assert a.shl(com, 2).var == 0b0101_1000
+        b = UnsignedInteger.new(com, com.constant(77), 8)
+        assert a.mul(com, b).var == (0b1101_0110 * 77) % 256
+
+    def test_range_violation_raises(self):
+        com = NativeCompiler(ed.BABY_JUBJUB.base)
+        with pytest.raises(AssertionError):
+            U8.new(com, com.constant(256))
+
+    def test_r1cs_range(self):
+        spec = ed.BABY_JUBJUB.base
+        com = R1CSCompiler.for_proofs(spec)
+        U8.new(com, com.secret_witness(255))
+        assert com.cs.is_satisfied()
+        com2 = R1CSCompiler.for_proofs(spec)
+        U8.new(com2, com2.secret_witness(256))
+        assert not com2.cs.is_satisfied()
+
+
+@pytest.mark.parametrize("spec", [ed.BABY_JUBJUB], ids=["baby_jubjub"])
+class TestEcGadget:
+    def test_native_add_matches_oracle(self, spec):
+        com = NativeCompiler(spec.base)
+        k1, k2 = RNG.randrange(spec.order), RNG.randrange(spec.order)
+        P = ed.scalar_mul(spec, k1, spec.gen)
+        Q = ed.scalar_mul(spec, k2, spec.gen)
+        out = ecg.add_points(
+            com, spec, ecg.PointVar(*P), ecg.PointVar(*Q)
+        )
+        assert (out.x, out.y) == ed.add(spec, P, Q)
+
+    def test_native_fixed_base_matches_oracle(self, spec):
+        com = NativeCompiler(spec.base)
+        k = RNG.randrange(spec.order)
+        bits = com.to_bits_le(k, spec.scalar_bits)
+        from openzl_tpu.crypto.signature.schnorr import _gen_table
+
+        out = ecg.fixed_base_scalar_mul(com, _gen_table(spec), bits)
+        assert (out.x, out.y) == ed.scalar_mul(spec, k, spec.gen)
+
+    def test_native_variable_base_matches_oracle(self, spec):
+        com = NativeCompiler(spec.base)
+        kp = RNG.randrange(spec.order)
+        P = ed.scalar_mul(spec, kp, spec.gen)
+        k = RNG.randrange(1 << 64)
+        bits = com.to_bits_le(k, 64)
+        out = ecg.scalar_mul(com, spec, bits, ecg.PointVar(*P))
+        assert (out.x, out.y) == ed.scalar_mul(spec, k, P)
+
+    def test_r1cs_add_satisfiable(self, spec):
+        com = R1CSCompiler.for_proofs(spec.base)
+        k1, k2 = RNG.randrange(spec.order), RNG.randrange(spec.order)
+        P = ed.scalar_mul(spec, k1, spec.gen)
+        Q = ed.scalar_mul(spec, k2, spec.gen)
+        want = ed.add(spec, P, Q)
+        pv = ecg.alloc_point(com, spec, P)
+        qv = ecg.alloc_point(com, spec, Q)
+        out = ecg.add_points(com, spec, pv, qv)
+        com.assert_eq(out.x, com.constant(want[0]))
+        com.assert_eq(out.y, com.constant(want[1]))
+        assert com.cs.is_satisfied()
+
+    def test_r1cs_off_curve_point_rejected(self, spec):
+        com = R1CSCompiler.for_proofs(spec.base)
+        ecg.alloc_point(com, spec, (12345, 67890))
+        assert not com.cs.is_satisfied()
+
+
+class TestEdSchnorr:
+    def test_sign_verify_roundtrip(self):
+        spec = ed.BABY_JUBJUB
+        scheme = EdSchnorr(spec)
+        sk = scheme.generate_key(RNG)
+        vk = scheme.derive(sk)
+        msg = RNG.randrange(spec.base.modulus)
+        sig = scheme.sign(sk, RNG.randrange(spec.order), msg)
+        assert scheme.verify(vk, msg, sig)
+
+    def test_wrong_key_and_message_rejected(self):
+        spec = ed.BABY_JUBJUB
+        scheme = EdSchnorr(spec)
+        sk = scheme.generate_key(RNG)
+        vk = scheme.derive(sk)
+        msg = 777
+        sig = scheme.sign(sk, 12345, msg)
+        assert not scheme.verify(vk, msg + 1, sig)
+        vk2 = scheme.derive(scheme.generate_key(RNG))
+        assert not scheme.verify(vk2, msg, sig)
+
+    def test_jubjub_roundtrip(self):
+        spec = ed.jubjub()
+        scheme = EdSchnorr(spec)
+        sk = scheme.generate_key(RNG)
+        sig = scheme.sign(sk, 999, 4242)
+        assert scheme.verify(scheme.derive(sk), 4242, sig)
+
+    def test_r1cs_verification_circuit_satisfiable(self):
+        spec = ed.BABY_JUBJUB
+        scheme = EdSchnorr(spec)
+        sk = scheme.generate_key(RNG)
+        vk = scheme.derive(sk)
+        msg = RNG.randrange(spec.base.modulus)
+        sig = scheme.sign(sk, RNG.randrange(spec.order), msg)
+        com = R1CSCompiler.for_proofs(spec.base)
+        verification_circuit(com, spec, vk, msg, sig)
+        assert com.cs.is_satisfied()
+
+    def test_r1cs_rejects_forged_signature(self):
+        spec = ed.BABY_JUBJUB
+        scheme = EdSchnorr(spec)
+        sk = scheme.generate_key(RNG)
+        vk = scheme.derive(sk)
+        sig = scheme.sign(sk, 31337, 1000)
+        forged = dataclass_replace_scalar(sig, (sig.scalar + 1) % spec.order)
+        com = R1CSCompiler.for_proofs(spec.base)
+        verification_circuit(com, spec, vk, 1000, forged)
+        assert not com.cs.is_satisfied()
+
+
+def dataclass_replace_scalar(sig, new_scalar):
+    import dataclasses
+
+    return dataclasses.replace(sig, scalar=new_scalar)
+
+
+@pytest.mark.heavy
+def test_groth16_proof_of_schnorr_verification():
+    """End-to-end VERDICT item 4: Groth16 proof that a Schnorr signature
+    verifies (public vk+msg, secret signature) — proof must verify, and a
+    fuzzed public input must not."""
+    from openzl_tpu.proof_systems import Groth16
+    from openzl_tpu.ref import pairing as refpair
+
+    spec = ed.BABY_JUBJUB
+    scheme = EdSchnorr(spec)
+    sk = scheme.generate_key(RNG)
+    vk_pt = scheme.derive(sk)
+    msg = RNG.randrange(spec.base.modulus)
+    sig = scheme.sign(sk, RNG.randrange(spec.order), msg)
+
+    g16 = Groth16(refpair.BN254, backend="host")
+    setup_com = g16.context_compiler()
+    verification_circuit(setup_com, spec, None, None, None)
+    pk = g16.compile(setup_com.cs, RNG)
+
+    prove_com = g16.proof_compiler()
+    verification_circuit(prove_com, spec, vk_pt, msg, sig)
+    assert prove_com.cs.is_satisfied()
+    proof = g16.prove(pk, prove_com.cs, RNG)
+
+    public = [vk_pt[0], vk_pt[1], msg]
+    assert g16.verify(pk.vk, public, proof)
+    assert not g16.verify(pk.vk, [public[0], public[1], msg + 1], proof)

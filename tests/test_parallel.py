@@ -50,13 +50,32 @@ def test_sharded_poseidon_matches_single_chip():
 def test_sharded_msm_matches_oracle():
     curve = BN254_G1
     mesh = local_mesh(8)
-    n = 16
+    n = 8
     pts = [refc.random_point(curve, RNG) for _ in range(n)]
-    ks = [RNG.randrange(1 << 32) for _ in range(n)]
+    ks = [RNG.randrange(1 << 8) for _ in range(n)]
     want = refc.msm(curve, ks, pts)
     P = jac.from_affine_ints(curve, pts)
     scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
-    out = sharded_msm(curve, mesh, scal, P, window_bits=4, n_bits=32)
+    out = sharded_msm(curve, mesh, scal, P, window_bits=4, n_bits=8)
+    assert jac.to_affine_ints(curve, out) == want
+
+
+@needs_8
+def test_sharded_msm_toy_curve_fast():
+    # Fast-suite EC collective coverage: the 2-limb toy curve compiles in
+    # seconds (the production curves take 30+ min per XLA:CPU executable —
+    # they stay in the heavy suite above). Identical code path.
+    from openzl_tpu.curves.spec import toy_curve
+
+    curve = toy_curve()
+    mesh = local_mesh(8)
+    n = 8
+    ks = [RNG.randrange(1, 1 << 4) for _ in range(n)]
+    G = refc.generator(curve)
+    want = refc.scalar_mul(curve, sum(ks), G)
+    P = jac.generator(curve, (n,))
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    out = sharded_msm(curve, mesh, scal, P, window_bits=2, n_bits=4)
     assert jac.to_affine_ints(curve, out) == want
 
 

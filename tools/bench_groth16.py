@@ -1,0 +1,107 @@
+"""Device-backend Groth16 at scale: Poseidon hash-chain circuit >= 2^14
+constraints, setup/prove/verify wall-clock on the real TPU.
+
+Circuit: h_{i+1} = Poseidon(h_i, w_i) over `chain` links; public input is
+the final digest (preimage-knowledge of the whole chain). Emits one JSON
+line per phase and appends to SCALE_r02.json if present.
+
+Run: python tools/bench_groth16.py [--chain 64]
+"""
+
+import argparse
+import json
+import pathlib
+import random
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/openzl_tpu_jax_cache_axon")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from openzl_tpu.crypto.constraint import InputBuilder
+from openzl_tpu.crypto.poseidon import gadget as poseidon_gadget
+from openzl_tpu.proof_systems import Groth16
+from openzl_tpu.ref import pairing as refpair
+from openzl_tpu.ref import poseidon as refposeidon
+
+RNG = random.Random(0xBEEF)
+
+
+def build(g16, params, chain, witness=None, digest=None):
+    com = g16.proof_compiler() if witness is not None else g16.context_compiler()
+    h_pub = com.public_input(digest)
+    h = com.secret_witness(None if witness is None else witness[0])
+    for i in range(chain):
+        w = com.secret_witness(None if witness is None else witness[1 + i])
+        h = poseidon_gadget.hash(com, params, [h, w])
+    com.assert_eq(h, h_pub)
+    return com.cs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=64)
+    args = ap.parse_args()
+    print("platform:", jax.devices()[0].platform, flush=True)
+
+    g16 = Groth16(refpair.BN254, backend="device")
+    params = refposeidon.PoseidonParams.generate(g16.fr, 3, 8, 55)
+    p = g16.fr.modulus
+
+    witness = [RNG.randrange(p) for _ in range(args.chain + 1)]
+    h = witness[0]
+    for i in range(args.chain):
+        h = refposeidon.hash(params, [h, witness[1 + i]])
+    digest = h
+
+    results = []
+
+    def rec(metric, dt, extra=None):
+        row = {"metric": metric, "value": round(dt * 1e3, 1), "unit": "ms"}
+        if extra:
+            row.update(extra)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    t0 = time.perf_counter()
+    setup_cs = build(g16, params, args.chain)
+    t_build = time.perf_counter() - t0
+    nc = setup_cs.num_constraints
+    print(f"constraints: {nc} (~2^{nc.bit_length()-1}), build {t_build:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    pk = g16.compile(setup_cs, RNG)
+    rec(f"groth16_setup_c{nc}", time.perf_counter() - t0, {"constraints": nc})
+
+    t0 = time.perf_counter()
+    prove_cs = build(g16, params, args.chain, witness, digest)
+    t_wit = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    proof = g16.prove(pk, prove_cs, RNG)
+    rec(
+        f"groth16_prove_c{nc}", time.perf_counter() - t0,
+        {"constraints": nc, "witness_synthesis_ms": round(t_wit * 1e3, 1)},
+    )
+
+    t0 = time.perf_counter()
+    inputs = InputBuilder(p).extend_field(digest).build()
+    ok = g16.verify(pk.vk, inputs, proof)
+    rec(f"groth16_verify_c{nc}", time.perf_counter() - t0, {"ok": bool(ok)})
+    assert ok, "proof did not verify"
+    bad = g16.verify(pk.vk, [(digest + 1) % p], proof)
+    assert not bad, "fuzzed input accepted"
+    print("verify OK, fuzzed input rejected", flush=True)
+
+    out = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
+    prior = json.loads(out.read_text()) if out.exists() else []
+    out.write_text(json.dumps(prior + results, indent=1))
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

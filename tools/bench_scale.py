@@ -40,12 +40,19 @@ from openzl_tpu.ref import curve as refc
 RESULTS = []
 
 
+OUT = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
+
+
 def record(metric, value, unit, extra=None):
     row = {"metric": metric, "value": round(value, 3), "unit": unit}
     if extra:
         row.update(extra)
     RESULTS.append(row)
     print(json.dumps(row), flush=True)
+    # write-through so a crashed later phase never loses finished results
+    prior = json.loads(OUT.read_text()) if OUT.exists() else []
+    merged = [r for r in prior if r["metric"] != metric] + [row]
+    OUT.write_text(json.dumps(merged, indent=1))
 
 
 def fence(x):
@@ -89,10 +96,10 @@ def bench_msm(sizes):
         s = [(si * 0x9E3779B97F4A7C15) % r for si in s]
         sk = jnp.asarray(limb.pack(curve.scalar, np.array(s, dtype=object)))
         out = msm(curve, sk, pts)
-        fence(out.x[0, :1])  # compile + sync
+        fence(out.x[:1])  # compile + sync (result is scalar-batch: 1-D limbs)
         t0 = time.perf_counter()
         out = msm(curve, sk, pts)
-        fence(out.x[0, :1])
+        fence(out.x[:1])
         dt = time.perf_counter() - t0
         got = jac.to_affine_ints(curve, out)
         want_scalar = sum(si * int(di) for si, di in zip(s, d)) % r
@@ -127,13 +134,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-merkle", action="store_true")
+    ap.add_argument("--skip-ntt", action="store_true")
+    ap.add_argument("--skip-msm", action="store_true")
     args = ap.parse_args()
     print("platform:", jax.devices()[0].platform, flush=True)
 
     ntt_sizes = [18, 20] if args.quick else [18, 19, 20, 21, 22]
     msm_sizes = [16] if args.quick else [16, 18, 20]
-    bench_ntt(ntt_sizes)
-    bench_msm(msm_sizes)
+    if not args.skip_ntt:
+        bench_ntt(ntt_sizes)
+    if not args.skip_msm:
+        bench_msm(msm_sizes)
     if not args.skip_merkle:
         try:
             bench_merkle()
@@ -141,7 +152,10 @@ def main():
             print("merkle bench failed:", e, flush=True)
 
     out = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
-    out.write_text(json.dumps(RESULTS, indent=1))
+    prior = json.loads(out.read_text()) if out.exists() else []
+    seen = {r["metric"] for r in RESULTS}
+    merged = [r for r in prior if r["metric"] not in seen] + RESULTS
+    out.write_text(json.dumps(merged, indent=1))
     print("wrote", out, flush=True)
 
 
