@@ -96,47 +96,32 @@ def _segmented_bucket_sums(
 
 
 def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
-    """sum_b b * B_b via suffix scan: S = sum_j running_j, running_j = sum_{b>=j} B_b."""
+    """sum_b b * B_b via suffix scan: S = sum_j running_j, running_j = sum_{b>=j} B_b.
+
+    Both scans run at the full 2^c width (power of two, so the chunked
+    work-efficient scan applies): bucket 0 is always the identity point
+    (digit-0 tails are dumped past the bucket array in
+    `_segmented_bucket_sums`), so including it in the suffix contributes
+    exactly weight-0 — no trimming required.
+    """
     F = jac.field_ops(curve)
+    width = 1 << c
 
     def combine(a, b):
         return tuple(jac.add(curve, JPoint(*a), JPoint(*b)))
 
+    def pad(k):
+        return tuple(jac.identity(curve, (k,)))
+
     rev = JPoint(F.reverse(buckets.x), F.reverse(buckets.y), F.reverse(buckets.z))
-    suffix = inclusive_scan(
-        combine, tuple(rev), lambda k: tuple(jac.identity(curve, (k,)))
-    )
-    running = JPoint(*suffix)  # running[j] = sum of buckets[2^c-1-j ..]
-    # drop the final entry (suffix including bucket 0 adds B_0 exactly once
-    # per remaining index; bucket 0 must not be weighted) — weight of B_b is
-    # b, and running entries 0..2^c-2 give weights 1..2^c-1 correctly;
-    # entry 2^c-1 (the full sum incl. bucket 0) would add weight to b=0.
-    width = 1 << c
-
-    def tree_reduce(P: JPoint) -> JPoint:
-        # operand width is padded to a power of two below
-        m = P.z.shape[-1]
-        while m > 1:
-            half = m // 2
-            left = JPoint(*(F.slice_batch(v, 0, half) for v in P))
-            right = JPoint(*(F.slice_batch(v, half, m) for v in P))
-            P = jac.add(curve, left, right)
-            m = half
-        return P
-
-    # exclude running[2^c-1] (it contains bucket 0)
-    trimmed = JPoint(*(F.slice_batch(v, 0, width - 1) for v in running))
-    # pad to a power of two with identities for a clean tree reduce
-    pad = (1 << (width - 1).bit_length()) - (width - 1)
-    if pad:
-        idp = jac.identity(curve, (pad,))
-        trimmed = JPoint(
-            F.concat([trimmed.x, idp.x]),
-            F.concat([trimmed.y, idp.y]),
-            F.concat([trimmed.z, idp.z]),
-        )
-    red = tree_reduce(trimmed)
-    return JPoint(*(F.take(v, 0) for v in red))
+    # running[j] = sum of buckets[2^c-1-j ..]. Summing the FIRST 2^c - 1
+    # running values weights B_b by exactly b (the final running value — the
+    # grand total including bucket 0 — would shift every weight up by one),
+    # so the answer is the inclusive prefix at index 2^c - 2.
+    running = inclusive_scan(combine, tuple(rev), pad)
+    summed = inclusive_scan(combine, running, pad)
+    total = JPoint(*summed)
+    return JPoint(*(F.take(v, width - 2) for v in total))
 
 
 def msm(
@@ -206,11 +191,12 @@ def _msm_jit(
     sums = JPoint(*sums)  # leading axis = window index
 
     # Horner from the most significant window: acc = 2^c * acc + S_w
+    # (doublings under fori_loop: one `double` instance in the graph)
     def horner_body(acc, sum_w):
-        acc = JPoint(*acc)
-        for _ in range(c):
-            acc = jac.double(curve, acc)
-        acc = jac.add(curve, acc, JPoint(*sum_w))
+        acc = lax.fori_loop(
+            0, c, lambda _, a: tuple(jac.double(curve, JPoint(*a))), acc
+        )
+        acc = jac.add(curve, JPoint(*acc), JPoint(*sum_w))
         return tuple(acc), None
 
     top = tuple(v[-1] for v in sums)

@@ -81,9 +81,23 @@ class SparseFieldMatrix:
         c = np.asarray(cols, dtype=np.int32)
         v = np.array(ints, dtype=object)
         order = np.argsort(r, kind="stable")
+        r, c, v = r[order], c[order], v[order]
+        # Pad nnz to a power of two so the segmented matvec scan takes the
+        # work-efficient chunked path (scan_utils requires divisibility).
+        # Padding: zero coefficients in virtual row `n_rows` — sorted last,
+        # summed into the scatter dump slot; after `transpose` they become
+        # zero-coefficient terms whose gathered operand is clipped in-range,
+        # still contributing exactly nothing.
+        nnz = len(r)
+        padded = 1 << (nnz - 1).bit_length()
+        if padded != nnz:
+            k = padded - nnz
+            r = np.concatenate([r, np.full(k, n_rows, dtype=np.int32)])
+            c = np.concatenate([c, np.zeros(k, dtype=np.int32)])
+            v = np.concatenate([v, np.zeros(k, dtype=object)])
         return cls(
-            spec, n_rows, n_cols, r[order], c[order],
-            limb.pack_mont(spec, v[order] % spec.modulus),
+            spec, n_rows, n_cols, r, c,
+            limb.pack_mont(spec, v % spec.modulus),
         )
 
     def transpose(self) -> "SparseFieldMatrix":
