@@ -117,9 +117,28 @@ def negate(curve: CurveSpec, P: JPoint) -> JPoint:
     return JPoint(P.x, field_ops(curve).neg(P.y), P.z)
 
 
+def _pallas_ec(curve: CurveSpec) -> bool:
+    """Route Fq (G1) group ops through the Pallas EC kernels on TPU.
+
+    Decided at trace time: tests pin the CPU platform, production runs pin
+    the TPU backend, so one branch per process. Fq2 (G2) stays on the jnp
+    path (the kernels are written for the base field).
+    """
+    if curve.ext != 1:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend query can fail pre-init in exotic setups
+        return False
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def double(curve: CurveSpec, P: JPoint) -> JPoint:
     """dbl-2009-l (a=0). Handles identity for free (Z3 = 2YZ = 0)."""
+    if _pallas_ec(curve):
+        from ..ops import ec_kernel
+
+        return JPoint(*ec_kernel.ec_op(curve.base, "dbl", P.x, P.y, P.z))
     F = field_ops(curve)
     X, Y, Z = P
     A = F.sqr(X)
@@ -137,6 +156,17 @@ def double(curve: CurveSpec, P: JPoint) -> JPoint:
 @functools.partial(jax.jit, static_argnums=0)
 def add(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
     """Complete batched addition: add-2007-bl with masked special cases."""
+    if _pallas_ec(curve):
+        from ..ops import ec_kernel
+
+        bx, by, bz = jnp.broadcast_arrays(P.x, Q.x), jnp.broadcast_arrays(
+            P.y, Q.y
+        ), jnp.broadcast_arrays(P.z, Q.z)
+        return JPoint(
+            *ec_kernel.ec_op(
+                curve.base, "add", bx[0], by[0], bz[0], bx[1], by[1], bz[1]
+            )
+        )
     F = field_ops(curve)
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
@@ -170,6 +200,113 @@ def add(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
     R = select(p_inf, Q, R, F)
     R = select(q_inf, P, R, F)
     return R
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def madd(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
+    """Mixed batched addition: Q must be normalized (Z in {0, 1}).
+
+    madd-2007-bl (7M+4S vs add-2007-bl's 11M+5S); Q with Z=0 (identity) is
+    handled by the q_inf mask, so `normalize` output feeds straight in. Used
+    by the MSM bucket pipeline where one operand is always an input point.
+    """
+    if _pallas_ec(curve):
+        from ..ops import ec_kernel
+
+        bx, by, bz = jnp.broadcast_arrays(P.x, Q.x), jnp.broadcast_arrays(
+            P.y, Q.y
+        ), jnp.broadcast_arrays(P.z, Q.z)
+        return JPoint(
+            *ec_kernel.ec_op(
+                curve.base, "madd", bx[0], by[0], bz[0], bx[1], by[1], bz[1]
+            )
+        )
+    F = field_ops(curve)
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = F.sqr(Z1)
+    U2 = F.mul(X2, Z1Z1)
+    S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
+    H = F.sub(U2, X1)
+    HH = F.sqr(H)
+    I = F.double(F.double(HH))
+    J = F.mul(H, I)
+    r = F.double(F.sub(S2, Y1))
+    V = F.mul(X1, I)
+    X3 = F.sub(F.sqr(r), F.add(J, F.double(V)))
+    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.double(F.mul(Y1, J)))
+    Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
+    R = JPoint(X3, Y3, Z3)
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(r)
+    both_live = ~p_inf & ~q_inf
+    same = both_live & h_zero & r_zero
+    opposite = both_live & h_zero & ~r_zero
+
+    R = select(same, double(curve, P), R, F)
+    R = select(opposite, identity(curve, _batch_shape(curve, P)), R, F)
+    R = select(p_inf, Q, R, F)
+    R = select(q_inf, P, R, F)
+    return R
+
+
+def batch_inv(F: FieldOps, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched field inversion over the LAST axis: Montgomery's trick.
+
+    Two mul-monoid chunked scans (prefix and suffix products) + ONE Fermat
+    inversion of the grand total: ~7 field muls per element instead of the
+    ~2*log2(p) a per-element Fermat inverse costs. All inputs must be
+    non-zero (callers mask zeros to 1 beforehand).
+    """
+    from ..ops.scan_utils import inclusive_scan
+
+    n = x.shape[-1]
+    if n == 1:
+        return F.inv(x)
+    batch = x.shape[F.value_ndim :]
+
+    def combine(a, b):
+        return (F.mul(a[0], b[0]),)
+
+    def pad(k):
+        return (F.broadcast_to_batch(F.one((1,) * (len(batch) - 1) + (1,)), batch[:-1] + (k,)),)
+
+    (ps,) = inclusive_scan(combine, (x,), pad)
+    (ssr,) = inclusive_scan(combine, (F.reverse(x),), pad)
+    ss = F.reverse(ssr)
+    tinv = F.inv(F.take(ps, n - 1))  # one Fermat, single lane
+    left = F.concat([*pad(1), F.slice_batch(ps, 0, n - 1)])
+    right = F.concat([F.slice_batch(ss, 1, n), *pad(1)])
+    tinv_b = F.broadcast_to_batch(tinv.reshape(tinv.shape + (1,)), batch)
+    return F.mul(F.mul(left, right), tinv_b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def normalize(curve: CurveSpec, P: JPoint) -> JPoint:
+    """Scale every live point to Z = 1 (identity keeps Z = 0, X = Y = 1).
+
+    One batched inversion for the whole batch; output satisfies `madd`'s
+    Z-in-{0,1} precondition and makes every downstream mixed add cheaper.
+    """
+    F = field_ops(curve)
+    batch = _batch_shape(curve, P)
+    if not batch:
+        raise ValueError("normalize expects a batched point")
+    inf = F.is_zero(P.z)
+    one = F.broadcast_to_batch(F.one((1,) * len(batch)), batch)
+    z = F.select(inf, one, P.z)
+    zinv = batch_inv(F, z)
+    zi2 = F.sqr(zinv)
+    x = F.mul(P.x, zi2)
+    y = F.mul(P.y, F.mul(zi2, zinv))
+    return JPoint(
+        F.select(inf, one, x),
+        F.select(inf, one, y),
+        F.select(inf, F.zeros(batch), one),
+    )
 
 
 def scalar_bits(spec_scalar: FieldSpec, scalars_canonical: jnp.ndarray) -> jnp.ndarray:

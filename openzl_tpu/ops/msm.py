@@ -34,10 +34,19 @@ from ..fields.spec import LIMB_BITS
 from .scan_utils import inclusive_scan, segmented_scan
 
 
-def _default_window_bits(n: int) -> int:
-    """Pippenger heuristic: c ~ log2(n) - 3, clamped to [4, 16]."""
-    c = max(n.bit_length() - 4, 4)
-    return min(c, 16)
+def _default_window_bits(n: int, total_bits: int = 255) -> int:
+    """Pick c minimizing modeled EC-add work over all windows.
+
+    Per window: ~0.8n mixed adds (segment-total pipeline) + ~5*2^c full
+    adds (bucket-width lifted combine + the two weighted-total scans).
+    """
+    best, best_cost = 4, None
+    for c in range(4, 17):
+        windows = -(-total_bits // c)
+        cost = windows * (0.8 * n + 5.0 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
 
 
 def _digits(scalars: jnp.ndarray, window: int, c: int) -> jnp.ndarray:
@@ -95,6 +104,118 @@ def _segmented_bucket_sums(
     )
 
 
+def _bucket_totals_fast(
+    curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int
+) -> JPoint:
+    """Segment-TOTAL bucket accumulation: ~n mixed adds per window.
+
+    Improves on `_segmented_bucket_sums` (a full segmented prefix scan,
+    ~2n full adds) by exploiting two facts: (1) only segment tails are
+    needed, and there are at most 2^c of them, so the cross-chunk offset
+    fix-up runs at bucket width instead of batch width; (2) the points are
+    pre-normalized (Z in {0,1}), so the serial intra-chunk fold uses the
+    cheaper mixed add.
+
+    Pipeline: argsort by digit; serial fold over R columns of the (L, R)
+    chunk grid under ONE fori_loop, scattering each tail's chunk-local
+    prefix (plus its chunk index and segment-start flag) into the bucket
+    arrays as it appears; lifted segmented scan over the L chunk totals;
+    one bucket-width gather + lifted combine applies cross-chunk offsets.
+    Requires pts normalized (`jacobian.normalize`).
+    """
+    F = jac.field_ops(curve)
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    sd = digits[order]
+    sp = JPoint(F.take(pts.x, order), F.take(pts.y, order), F.take(pts.z, order))
+
+    prev = jnp.concatenate([jnp.full((1,), -1, sd.dtype), sd[:-1]])
+    starts = sd != prev
+    nxt = jnp.concatenate([sd[1:], jnp.full((1,), -1, sd.dtype)])
+    tails = sd != nxt
+
+    r = 32
+    while r > 1 and (n % r or n // r < 8):
+        r //= 2
+    if r < 4:
+        return _segmented_bucket_sums(curve, pts, digits, c)
+    l = n // r
+    dump = 1 << c
+    width = dump + 1
+
+    # element l*r + j <-> (chunk l, column j)
+    def rs(v):
+        return v.reshape(v.shape[:-1] + (l, r))
+
+    cps = JPoint(rs(sp.x), rs(sp.y), rs(sp.z))
+    sd2, st2, tl2 = sd.reshape(l, r), starts.reshape(l, r), tails.reshape(l, r)
+    chunk_ids = jnp.arange(l, dtype=jnp.int32)
+
+    acc0 = tuple(jac.identity(curve, (l,)))
+    bv0 = tuple(jac.identity(curve, (width,)))
+    carry0 = (
+        acc0,
+        jnp.zeros((l,), bool),  # segment started within this chunk?
+        bv0,
+        jnp.ones((width,), bool),  # tail-local value complete?
+        jnp.zeros((width,), jnp.int32),  # tail's chunk index
+    )
+
+    def col(v, j):
+        return lax.squeeze(
+            lax.dynamic_slice_in_dim(v, j, 1, axis=v.ndim - 1), (v.ndim - 1,)
+        )
+
+    def body(j, carry):
+        acc, aflag, bv, bflag, bci = carry
+        q = JPoint(col(cps.x, j), col(cps.y, j), col(cps.z, j))
+        s = lax.dynamic_index_in_dim(st2, j, axis=1, keepdims=False)
+        t = lax.dynamic_index_in_dim(tl2, j, axis=1, keepdims=False)
+        d = lax.dynamic_index_in_dim(sd2, j, axis=1, keepdims=False)
+        summed = jac.madd(curve, JPoint(*acc), q)
+        acc_p = jac.select(s, q, summed, F)
+        aflag = aflag | s
+        slot = jnp.where(t & (d > 0), d, dump)
+        bv = JPoint(
+            F.scatter_set(bv[0], slot, acc_p.x),
+            F.scatter_set(bv[1], slot, acc_p.y),
+            F.scatter_set(bv[2], slot, acc_p.z),
+        )
+        bflag = bflag.at[slot].set(aflag)
+        bci = bci.at[slot].set(chunk_ids)
+        return (tuple(acc_p), aflag, tuple(bv), bflag, bci)
+
+    totals, tflag, bv, bflag, bci = lax.fori_loop(0, r, body, carry0)
+
+    # lifted segmented monoid over chunk totals -> exclusive offsets
+    def lifted(a, b):
+        va, fa = JPoint(*a[:3]), a[3]
+        vb, fb = JPoint(*b[:3]), b[3]
+        merged = jac.add(curve, va, vb)
+        out = jac.select(fb, vb, merged, F)
+        return (*tuple(out), fa | fb)
+
+    def lifted_pad(k):
+        return (*tuple(jac.identity(curve, (k,))), jnp.zeros((k,), bool))
+
+    incl = inclusive_scan(lifted, (*totals, tflag), lifted_pad)
+    idp = lifted_pad(1)
+    excl = tuple(
+        jnp.concatenate([i1, v[..., : l - 1]], axis=-1)
+        for i1, v in zip(idp, incl)
+    )
+
+    # bucket-width offset apply: gather each tail's chunk offset, combine
+    off = tuple(v[..., bci] for v in excl)
+    total = lifted(off, (*bv, bflag))
+    buckets = JPoint(*total[:3])
+    return JPoint(
+        F.slice_batch(buckets.x, 0, dump),
+        F.slice_batch(buckets.y, 0, dump),
+        F.slice_batch(buckets.z, 0, dump),
+    )
+
+
 def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
     """sum_b b * B_b via suffix scan: S = sum_j running_j, running_j = sum_{b>=j} B_b.
 
@@ -122,6 +243,96 @@ def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
     summed = inclusive_scan(combine, running, pad)
     total = JPoint(*summed)
     return JPoint(*(F.take(v, width - 2) for v in total))
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_table(curve: CurveSpec, c: int, n_bits: int) -> JPoint:
+    """Windowed table for fixed-base scalar mul: T[w, d] = d * 2^(c*w) * G.
+
+    Built once per (curve, c, n_bits) and cached on device, normalized so
+    evaluation runs on mixed adds. Layout: (windows, n_limbs[, 2], 2^c) with
+    the window axis LEADING for lax.scan consumption.
+    """
+    F = jac.field_ops(curve)
+    windows = -(-n_bits // c)
+    width = 1 << c
+
+    # row 0: [0, G, 2G, ..., (2^c - 1) G] via a prefix-sum of G replicas
+    G = jac.generator(curve, (width - 1,))
+
+    def combine(a, b):
+        return tuple(jac.add(curve, JPoint(*a), JPoint(*b)))
+
+    def pad(k):
+        return tuple(jac.identity(curve, (k,)))
+
+    prefixes = JPoint(*inclusive_scan(combine, tuple(G), pad))
+    idp = jac.identity(curve, (1,))
+    row = JPoint(
+        F.concat([idp.x, prefixes.x]),
+        F.concat([idp.y, prefixes.y]),
+        F.concat([idp.z, prefixes.z]),
+    )
+
+    rows = []
+    for w in range(windows):
+        rows.append(jac.normalize(curve, row))
+        if w + 1 < windows:
+            row = lax.fori_loop(
+                0, c, lambda _, p: tuple(jac.double(curve, JPoint(*p))), tuple(row)
+            )
+            row = JPoint(*row)
+    table = JPoint(
+        jnp.stack([r.x for r in rows]),
+        jnp.stack([r.y for r in rows]),
+        jnp.stack([r.z for r in rows]),
+    )
+    table = jax.device_put(table)
+    jax.block_until_ready(table.x)
+    return table
+
+
+def fixed_base_msm(
+    curve: CurveSpec,
+    scalars: jnp.ndarray,
+    window_bits: int = 8,
+    n_bits: Optional[int] = None,
+) -> JPoint:
+    """[k_i * G] for the curve generator: table gather + windows mixed adds.
+
+    ~windows (= n_bits/c) mixed adds per scalar versus the ~2*n_bits
+    add/double steps of a batched double-and-add — the Groth16 setup's
+    query-encoding hot path (SURVEY.md section 3.1 setup MSMs).
+    scalars: (n_limbs_scalar, N) canonical limbs.
+    """
+    nb = n_bits or curve.scalar.bits
+    table = _fixed_base_table(curve, window_bits, nb)
+    return _fixed_base_eval(curve, scalars, table, window_bits, nb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _fixed_base_eval(
+    curve: CurveSpec,
+    scalars: jnp.ndarray,
+    table: JPoint,
+    c: int,
+    n_bits: int,
+) -> JPoint:
+    F = jac.field_ops(curve)
+    n = scalars.shape[1]
+    n_windows = -(-n_bits // c)
+    digits_all = jnp.stack([_digits(scalars, w, c) for w in range(n_windows)])
+
+    acc0 = tuple(jac.identity(curve, (n,)))
+
+    def body(acc, xs):
+        d, tx, ty, tz = xs
+        pt = JPoint(tx[..., d], ty[..., d], tz[..., d])
+        out = jac.madd(curve, JPoint(*acc), pt)
+        return tuple(out), None
+
+    acc, _ = lax.scan(body, acc0, (digits_all, table.x, table.y, table.z))
+    return JPoint(*acc)
 
 
 def msm(
@@ -175,15 +386,20 @@ def _msm_jit(
     n_bits: Optional[int] = None,
 ) -> JPoint:
     n = scalars.shape[1]
-    c = window_bits or _default_window_bits(n)
-    n_windows = -(-(n_bits or curve.scalar.bits) // c)
+    total_bits = n_bits or curve.scalar.bits
+    c = window_bits or _default_window_bits(n, total_bits)
+    n_windows = -(-total_bits // c)
+
+    # One batched inversion normalizes every point to Z in {0,1}: all
+    # n_windows serial folds then run on the cheaper mixed add.
+    points = jac.normalize(curve, points)
 
     # All window digits up front; the per-window bucket pipeline then runs
     # under lax.scan so it compiles once regardless of window count.
     digits_all = jnp.stack([_digits(scalars, w, c) for w in range(n_windows)])
 
     def window_body(_, d):
-        buckets = _segmented_bucket_sums(curve, points, d, c)
+        buckets = _bucket_totals_fast(curve, points, d, c)
         total = _weighted_bucket_total(curve, buckets, c)
         return None, tuple(total)
 

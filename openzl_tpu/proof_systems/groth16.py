@@ -35,7 +35,7 @@ from ..eclair.r1cs import R1CS
 from ..fields import limb
 from ..fields.spec import FieldSpec
 from ..ops import ntt as nttmod
-from ..ops.msm import msm
+from ..ops.msm import fixed_base_msm, msm
 from ..ops.sparse import SparseFieldMatrix
 from ..ref import curve as refc
 from ..ref import pairing as refpair
@@ -213,7 +213,9 @@ def _fixed_base_host(curve, scalars: Sequence[int]):
 
 
 def _fixed_base_batch(curve, scalars: Sequence[int]) -> JPoint:
-    """[k_i * G] via one batched double-and-add scan on device.
+    """[k_i * G] via the windowed fixed-base table (ops.msm.fixed_base_msm):
+    ~n_bits/8 mixed adds per scalar instead of double-and-add's ~2*n_bits
+    add/doubles — the setup query encodings are the compile-phase hot path.
 
     Padded to the next power of two (min 8) so circuit sizes share compiled
     kernels."""
@@ -222,8 +224,7 @@ def _fixed_base_batch(curve, scalars: Sequence[int]) -> JPoint:
     ks = limb.pack(
         curve.scalar, np.array(list(scalars) + [0] * (padded - n), dtype=object)
     )
-    G = jac.generator(curve, (padded,))
-    out = jac.scalar_mul(curve, jnp.asarray(ks), G)
+    out = fixed_base_msm(curve, jnp.asarray(ks))
     from ..curves.jacobian import field_ops
 
     F = field_ops(curve)

@@ -1,0 +1,116 @@
+"""Fast-suite coverage of the MSM segment-total pipeline (toy curve).
+
+The production-curve MSM tests are heavy-marked (24-limb EC graphs take
+minutes to compile on XLA:CPU); the 2-limb toy curve drives the IDENTICAL
+code — `jacobian.normalize` / `madd` mixed adds, the chunked segment-total
+bucket accumulation in `ops.msm._bucket_totals_fast`, and the weighted
+bucket reduction — with ~16x smaller graphs.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openzl_tpu.curves import jacobian as jac
+from openzl_tpu.curves.spec import toy_curve
+from openzl_tpu.fields import limb
+from openzl_tpu.ops.msm import msm
+from openzl_tpu.ref import curve as ref
+
+RNG = random.Random(0xFA57)
+
+
+@pytest.fixture(scope="module")
+def curve():
+    return toy_curve()
+
+
+def _points(curve, n):
+    return [ref.random_point(curve, RNG) for _ in range(n)]
+
+
+def test_batch_inv_matches_fermat(curve):
+    F = jac.field_ops(curve)
+    p = curve.base.modulus
+    vals = [RNG.randrange(1, p) for _ in range(37)]
+    x = jnp.asarray(F.from_ints(np.array(vals, dtype=object)))
+    got = [int(v) for v in F.to_ints(np.asarray(jac.batch_inv(F, x)))]
+    assert got == [pow(v, -1, p) for v in vals]
+
+
+def test_normalize_preserves_points(curve):
+    n = 16
+    pts = _points(curve, n - 1) + [None]
+    P = jac.from_affine_ints(curve, pts)
+    # un-normalize: scale each Z by i+2 so inputs have Z != 1
+    F = jac.field_ops(curve)
+    s = jnp.asarray(F.from_ints(np.array(range(2, n + 2), dtype=object)))
+    s2, s3 = F.sqr(s), F.mul(F.sqr(s), s)
+    Q = jac.JPoint(F.mul(P.x, s2), F.mul(P.y, s3), F.mul(P.z, s))
+    N = jac.normalize(curve, Q)
+    # Z must be exactly 1 (0 for identity), and affine values unchanged
+    z = [int(v) for v in F.to_ints(np.asarray(N.z))]
+    assert z == [1] * (n - 1) + [0]
+    assert jac.to_affine_ints(curve, N) == pts
+
+
+def test_madd_matches_add(curve):
+    base = _points(curve, 6)
+    # pairs covering: generic, identity on either side, double, inverse
+    p0, p1, p2, p3, _, _ = base
+    p2_neg = (p2[0], curve.base.modulus - p2[1])
+    pairs = [
+        (p0, p1),
+        (p0, None),
+        (None, p1),
+        (None, None),
+        (p2, p2),
+        (p2, p2_neg),
+    ]
+    P = jac.from_affine_ints(curve, [a for a, _ in pairs])
+    Q = jac.from_affine_ints(curve, [b for _, b in pairs])
+    got = jac.to_affine_ints(curve, jac.madd(curve, P, Q))
+    want = [ref.add(curve, a, b) for a, b in pairs]
+    assert got == want
+
+
+@pytest.mark.parametrize("n,c", [(64, 4), (256, 5)])
+def test_msm_fast_path_vs_oracle(curve, n, c):
+    """n >= 32 so the chunked segment-total path (not the tiny-n fallback)
+    runs; duplicate digits, zero scalars, and identity points included."""
+    pts = _points(curve, n - 1) + [None]
+    ks = [RNG.randrange(1 << 16) for _ in range(n - 3)] + [0, 1, 7]
+    want = ref.msm(curve, ks, pts)
+    P = jac.from_affine_ints(curve, pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    got = jac.to_affine_ints(curve, msm(curve, scal, P, c, 16))
+    assert got == want
+
+
+def test_fixed_base_msm_vs_oracle(curve):
+    from openzl_tpu.ops.msm import fixed_base_msm
+
+    n = 32
+    ks = [RNG.randrange(1 << 16) for _ in range(n - 2)] + [0, 1]
+    scal = jnp.asarray(limb.pack(curve.scalar, np.array(ks, dtype=object)))
+    got = jac.to_affine_ints(
+        curve, fixed_base_msm(curve, scal, window_bits=4, n_bits=16)
+    )
+    G = ref.generator(curve)
+    assert got == [ref.scalar_mul(curve, k, G) for k in ks]
+
+
+def test_msm_many_duplicate_digits(curve):
+    """Every point shares one bucket -> single long segment spanning chunks."""
+    n = 64
+    base = ref.random_point(curve, RNG)
+    pts = [base] * n
+    ks = [3] * n
+    want = ref.msm(curve, ks, pts)
+    P = jac.from_affine_ints(curve, pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    got = jac.to_affine_ints(curve, msm(curve, scal, P, 4, 8))
+    assert got == want

@@ -34,7 +34,7 @@ from openzl_tpu.curves.spec import BLS12_381_G1
 from openzl_tpu.fields import limb
 from openzl_tpu.fields.spec import BLS12_381_FR
 from openzl_tpu.ops import ntt as nttmod
-from openzl_tpu.ops.msm import msm
+from openzl_tpu.ops.msm import fixed_base_msm, msm
 from openzl_tpu.ref import curve as refc
 
 RESULTS = []
@@ -88,8 +88,7 @@ def bench_msm(sizes):
         # points with known dlogs: P_i = d_i G, d_i 64-bit
         d = rng.integers(1, 1 << 63, size=n, dtype=np.uint64)
         dk = limb.pack(curve.scalar, d.astype(object))
-        G = jac.generator(curve, (n,))
-        pts = jac.scalar_mul(curve, jnp.asarray(dk), G)
+        pts = fixed_base_msm(curve, jnp.asarray(dk), n_bits=64)
         fence(pts.x[0, :1])
         # full-width random scalars
         s = [int(x) for x in rng.integers(0, 1 << 62, size=n, dtype=np.int64)]
