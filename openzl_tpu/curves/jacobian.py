@@ -118,13 +118,13 @@ def negate(curve: CurveSpec, P: JPoint) -> JPoint:
 
 
 def _pallas_ec(curve: CurveSpec) -> bool:
-    """Route Fq (G1) group ops through the Pallas EC kernels on TPU.
+    """Route group ops through the Pallas EC kernels on TPU (Fq for G1,
+    Karatsuba-Fq2 for G2 — ops/ec_kernel.py).
 
     Decided at trace time: tests pin the CPU platform, production runs pin
-    the TPU backend, so one branch per process. Fq2 (G2) stays on the jnp
-    path (the kernels are written for the base field).
+    the TPU backend, so one branch per process.
     """
-    if curve.ext != 1:
+    if curve.ext not in (1, 2):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -138,7 +138,11 @@ def double(curve: CurveSpec, P: JPoint) -> JPoint:
     if _pallas_ec(curve):
         from ..ops import ec_kernel
 
-        return JPoint(*ec_kernel.ec_op(curve.base, "dbl", P.x, P.y, P.z))
+        return JPoint(
+            *ec_kernel.ec_op(
+                curve.base, "dbl", P.x, P.y, P.z, ext=curve.ext
+            )
+        )
     F = field_ops(curve)
     X, Y, Z = P
     A = F.sqr(X)
@@ -164,7 +168,10 @@ def add(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
         ), jnp.broadcast_arrays(P.z, Q.z)
         return JPoint(
             *ec_kernel.ec_op(
-                curve.base, "add", bx[0], by[0], bz[0], bx[1], by[1], bz[1]
+                curve.base,
+                "add",
+                bx[0], by[0], bz[0], bx[1], by[1], bz[1],
+                ext=curve.ext,
             )
         )
     F = field_ops(curve)
@@ -218,7 +225,10 @@ def madd(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
         ), jnp.broadcast_arrays(P.z, Q.z)
         return JPoint(
             *ec_kernel.ec_op(
-                curve.base, "madd", bx[0], by[0], bz[0], bx[1], by[1], bz[1]
+                curve.base,
+                "madd",
+                bx[0], by[0], bz[0], bx[1], by[1], bz[1],
+                ext=curve.ext,
             )
         )
     F = field_ops(curve)

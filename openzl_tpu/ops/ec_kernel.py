@@ -82,160 +82,255 @@ def _k_select(mask, a, b):
     return jnp.where(mask[None], a, b)
 
 
-def _k_ec_double(p, n0inv, X, Y, Z):
+class _OpsF1:
+    """In-kernel base-field ops on (n, S, L) limb arrays."""
+
+    def __init__(self, p, n0):
+        self.p, self.n0 = p, n0
+
+    def add(self, a, b):
+        return _k_add(self.p, a, b)
+
+    def sub(self, a, b):
+        return _k_sub(self.p, a, b)
+
+    def double(self, a):
+        return _k_double(self.p, a)
+
+    def mul(self, a, b):
+        return _k_mont_mul(self.p, self.n0, a, b)
+
+    def sqr(self, a):
+        return _k_mont_sqr(self.p, self.n0, a)
+
+    def is_zero(self, a):
+        return _k_is_zero(a)
+
+    def select(self, m, a, b):
+        return _k_select(m, a, b)
+
+    def one_like(self, a):
+        lane1 = jnp.ones_like(a[0])
+        lane0 = jnp.zeros_like(a[0])
+        return jnp.stack([lane1] + [lane0] * (a.shape[0] - 1))
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+
+class _OpsF2:
+    """In-kernel Fq2 ops; values are (c0, c1) tuples of (n, S, L) arrays.
+
+    Same Karatsuba / complex-squaring formulas (u^2 = -1, BN254 and
+    BLS12-381 alike) as the jnp path (`fields.ext`); since every base op
+    returns canonical residues the results are bit-identical.
+    """
+
+    def __init__(self, p, n0):
+        self.b = _OpsF1(p, n0)
+
+    def add(self, a, b):
+        return (self.b.add(a[0], b[0]), self.b.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.b.sub(a[0], b[0]), self.b.sub(a[1], b[1]))
+
+    def double(self, a):
+        return (self.b.double(a[0]), self.b.double(a[1]))
+
+    def mul(self, a, b):
+        m0 = self.b.mul(a[0], b[0])
+        m1 = self.b.mul(a[1], b[1])
+        m2 = self.b.mul(self.b.add(a[0], a[1]), self.b.add(b[0], b[1]))
+        return (self.b.sub(m0, m1), self.b.sub(m2, self.b.add(m0, m1)))
+
+    def sqr(self, a):
+        c0 = self.b.mul(self.b.add(a[0], a[1]), self.b.sub(a[0], a[1]))
+        m = self.b.mul(a[0], a[1])
+        return (c0, self.b.add(m, m))
+
+    def is_zero(self, a):
+        return _k_is_zero(a[0]) & _k_is_zero(a[1])
+
+    def select(self, m, a, b):
+        return (_k_select(m, a[0], b[0]), _k_select(m, a[1], b[1]))
+
+    def one_like(self, a):
+        return (self.b.one_like(a[0]), self.b.zero_like(a[1]))
+
+    def zero_like(self, a):
+        return (self.b.zero_like(a[0]), self.b.zero_like(a[1]))
+
+
+def _k_ec_double(F, X, Y, Z):
     """dbl-2009-l (a=0); identity-safe (Z3 = 2YZ = 0)."""
-    A = _k_mont_sqr(p, n0inv, X)
-    B = _k_mont_sqr(p, n0inv, Y)
-    C = _k_mont_sqr(p, n0inv, B)
-    t = _k_sub(p, _k_mont_sqr(p, n0inv, _k_add(p, X, B)), _k_add(p, A, C))
-    D = _k_double(p, t)
-    E = _k_add(p, _k_double(p, A), A)
-    X3 = _k_sub(p, _k_mont_sqr(p, n0inv, E), _k_double(p, D))
-    C8 = _k_double(p, _k_double(p, _k_double(p, C)))
-    Y3 = _k_sub(p, _k_mont_mul(p, n0inv, E, _k_sub(p, D, X3)), C8)
-    Z3 = _k_double(p, _k_mont_mul(p, n0inv, Y, Z))
+    A = F.sqr(X)
+    B = F.sqr(Y)
+    C = F.sqr(B)
+    t = F.sub(F.sqr(F.add(X, B)), F.add(A, C))
+    D = F.double(t)
+    E = F.add(F.double(A), A)
+    X3 = F.sub(F.sqr(E), F.double(D))
+    C8 = F.double(F.double(F.double(C)))
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
+    Z3 = F.double(F.mul(Y, Z))
     return X3, Y3, Z3
 
 
-def _add_core(p, n0inv, P, Q, mixed):
+def _add_core(F, P, Q, mixed):
     """Shared add body; Q normalized (Z2 in {0,1}) when mixed."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    Z1Z1 = _k_mont_sqr(p, n0inv, Z1)
+    Z1Z1 = F.sqr(Z1)
     if mixed:
         U1 = X1
         S1 = Y1
-        U2 = _k_mont_mul(p, n0inv, X2, Z1Z1)
-        S2 = _k_mont_mul(p, n0inv, Y2, _k_mont_mul(p, n0inv, Z1, Z1Z1))
+        U2 = F.mul(X2, Z1Z1)
+        S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
     else:
-        Z2Z2 = _k_mont_sqr(p, n0inv, Z2)
-        U1 = _k_mont_mul(p, n0inv, X1, Z2Z2)
-        U2 = _k_mont_mul(p, n0inv, X2, Z1Z1)
-        S1 = _k_mont_mul(p, n0inv, Y1, _k_mont_mul(p, n0inv, Z2, Z2Z2))
-        S2 = _k_mont_mul(p, n0inv, Y2, _k_mont_mul(p, n0inv, Z1, Z1Z1))
-    H = _k_sub(p, U2, U1)
+        Z2Z2 = F.sqr(Z2)
+        U1 = F.mul(X1, Z2Z2)
+        U2 = F.mul(X2, Z1Z1)
+        S1 = F.mul(Y1, F.mul(Z2, Z2Z2))
+        S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
+    H = F.sub(U2, U1)
     if mixed:
-        HH = _k_mont_sqr(p, n0inv, H)
-        I = _k_double(p, _k_double(p, HH))
+        HH = F.sqr(H)
+        I = F.double(F.double(HH))
     else:
-        I = _k_mont_sqr(p, n0inv, _k_double(p, H))
-    J = _k_mont_mul(p, n0inv, H, I)
-    r = _k_double(p, _k_sub(p, S2, S1))
-    V = _k_mont_mul(p, n0inv, U1, I)
-    X3 = _k_sub(p, _k_mont_sqr(p, n0inv, r), _k_add(p, J, _k_double(p, V)))
-    Y3 = _k_sub(
-        p,
-        _k_mont_mul(p, n0inv, r, _k_sub(p, V, X3)),
-        _k_double(p, _k_mont_mul(p, n0inv, S1, J)),
-    )
+        I = F.sqr(F.double(H))
+    J = F.mul(H, I)
+    r = F.double(F.sub(S2, S1))
+    V = F.mul(U1, I)
+    X3 = F.sub(F.sqr(r), F.add(J, F.double(V)))
+    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.double(F.mul(S1, J)))
     if mixed:
         # Z3 = (Z1 + H)^2 - Z1Z1 - HH
-        Z3 = _k_sub(
-            p,
-            _k_sub(p, _k_mont_sqr(p, n0inv, _k_add(p, Z1, H)), Z1Z1),
-            HH,
-        )
+        Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
     else:
-        zz = _k_sub(
-            p,
-            _k_mont_sqr(p, n0inv, _k_add(p, Z1, Z2)),
-            _k_add(p, Z1Z1, Z2Z2),
-        )
-        Z3 = _k_mont_mul(p, n0inv, zz, H)
+        zz = F.sub(F.sqr(F.add(Z1, Z2)), F.add(Z1Z1, Z2Z2))
+        Z3 = F.mul(zz, H)
 
-    p_inf = _k_is_zero(Z1)
-    q_inf = _k_is_zero(Z2)
-    h_zero = _k_is_zero(H)
-    r_zero = _k_is_zero(r)
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(r)
     both = ~p_inf & ~q_inf
     same = both & h_zero & r_zero
     opposite = both & h_zero & ~r_zero
 
-    DX, DY, DZ = _k_ec_double(p, n0inv, X1, Y1, Z1)
-    lane1 = jnp.ones_like(X1[0])
-    lane0 = jnp.zeros_like(X1[0])
-    one = jnp.stack([lane1] + [lane0] * (X1.shape[0] - 1))
-    zero = jnp.zeros_like(X1)
+    DX, DY, DZ = _k_ec_double(F, X1, Y1, Z1)
+    one = F.one_like(X1)
+    zero = F.zero_like(X1)
 
-    X3 = _k_select(same, DX, X3)
-    Y3 = _k_select(same, DY, Y3)
-    Z3 = _k_select(same, DZ, Z3)
+    X3 = F.select(same, DX, X3)
+    Y3 = F.select(same, DY, Y3)
+    Z3 = F.select(same, DZ, Z3)
     # identity in Montgomery limbs: X=Y=R mod p; but any (X, Y) with Z=0 is
     # the identity for these mask-complete formulas, so plain 1 suffices
-    X3 = _k_select(opposite, one, X3)
-    Y3 = _k_select(opposite, one, Y3)
-    Z3 = _k_select(opposite, zero, Z3)
-    X3 = _k_select(p_inf, X2, X3)
-    Y3 = _k_select(p_inf, Y2, Y3)
-    Z3 = _k_select(p_inf, Z2, Z3)
-    X3 = _k_select(q_inf, X1, X3)
-    Y3 = _k_select(q_inf, Y1, Y3)
-    Z3 = _k_select(q_inf, Z1, Z3)
+    X3 = F.select(opposite, one, X3)
+    Y3 = F.select(opposite, one, Y3)
+    Z3 = F.select(opposite, zero, Z3)
+    X3 = F.select(p_inf, X2, X3)
+    Y3 = F.select(p_inf, Y2, Y3)
+    Z3 = F.select(p_inf, Z2, Z3)
+    X3 = F.select(q_inf, X1, X3)
+    Y3 = F.select(q_inf, Y1, Y3)
+    Z3 = F.select(q_inf, Z1, Z3)
     return X3, Y3, Z3
 
 
-def _make_add_kernel(n0inv: int, mixed: bool):
+def _split(v, ext):
+    """Kernel-side view: (n, S, L) stays; (n, 2, S, L) -> (c0, c1) pair."""
+    return v if ext == 1 else (v[:, 0], v[:, 1])
+
+
+def _join(v, ext):
+    return v if ext == 1 else jnp.stack(v, axis=1)
+
+
+def _ops(ext, p, n0):
+    return _OpsF1(p, n0) if ext == 1 else _OpsF2(p, n0)
+
+
+def _make_add_kernel(n0inv: int, mixed: bool, ext: int):
     n0 = np.uint32(n0inv)
 
     def kernel(p_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        p = p_ref[...]
+        p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
+        F = _ops(ext, p, n0)
         X3, Y3, Z3 = _add_core(
-            p,
-            n0,
-            (x1[...], y1[...], z1[...]),
-            (x2[...], y2[...], z2[...]),
+            F,
+            (_split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)),
+            (_split(x2[...], ext), _split(y2[...], ext), _split(z2[...], ext)),
             mixed,
         )
-        ox[...] = X3
-        oy[...] = Y3
-        oz[...] = Z3
+        ox[...] = _join(X3, ext)
+        oy[...] = _join(Y3, ext)
+        oz[...] = _join(Z3, ext)
 
     return kernel
 
 
-def _make_dbl_kernel(n0inv: int):
+def _make_dbl_kernel(n0inv: int, ext: int):
     n0 = np.uint32(n0inv)
 
     def kernel(p_ref, x1, y1, z1, ox, oy, oz):
-        p = p_ref[...]
-        X3, Y3, Z3 = _k_ec_double(p, n0, x1[...], y1[...], z1[...])
-        ox[...] = X3
-        oy[...] = Y3
-        oz[...] = Z3
+        p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
+        F = _ops(ext, p, n0)
+        X3, Y3, Z3 = _k_ec_double(
+            F, _split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)
+        )
+        ox[...] = _join(X3, ext)
+        oy[...] = _join(Y3, ext)
+        oz[...] = _join(Z3, ext)
 
     return kernel
 
 
-def _tiles(spec: FieldSpec):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ec_call(spec: FieldSpec, mode: str, ext: int, interpret: bool, *coords):
+    """mode: 'add' | 'madd' | 'dbl'. coords: flat (n, N) (ext=1) or
+    (n, 2, N) (ext=2) arrays, N a multiple of the batch tile."""
     n = spec.n_limbs
-    p3 = np.asarray(spec.p_limbs, dtype=np.uint32).reshape(n, 1, 1)
-    return n, p3
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _ec_call(spec: FieldSpec, mode: str, interpret: bool, *coords):
-    """mode: 'add' | 'madd' | 'dbl'. coords: flat (n, N) arrays, N a
-    multiple of _SUBLANES * _LANES."""
-    n, p3 = _tiles(spec)
+    p3 = np.asarray(spec.p_limbs, dtype=np.uint32).reshape(
+        (n,) + (1,) * (ext + 1)
+    )
     N = coords[0].shape[-1]
     S = N // _LANES
-    g = S // _SUBLANES
-    shaped = [c.reshape(n, S, _LANES) for c in coords]
+    sub = _SUBLANES if ext == 1 else _SUBLANES // 2
+    g = S // sub
 
     if mode == "dbl":
-        kernel = _make_dbl_kernel(spec.n0inv)
+        kernel = _make_dbl_kernel(spec.n0inv, ext)
     else:
-        kernel = _make_add_kernel(spec.n0inv, mode == "madd")
+        kernel = _make_add_kernel(spec.n0inv, mode == "madd", ext)
 
-    blk = pl.BlockSpec(
-        (n, _SUBLANES, _LANES),
-        lambda i: (0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    small = pl.BlockSpec((n, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((n, S, _LANES), jnp.uint32) for _ in range(3)
-    ]
+    if ext == 1:
+        shaped = [c.reshape(n, S, _LANES) for c in coords]
+        blk = pl.BlockSpec(
+            (n, sub, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        small = pl.BlockSpec(
+            (n, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((n, S, _LANES), jnp.uint32) for _ in range(3)
+        ]
+    else:
+        shaped = [c.reshape(n, 2, S, _LANES) for c in coords]
+        blk = pl.BlockSpec(
+            (n, 2, sub, _LANES),
+            lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        small = pl.BlockSpec(
+            (n, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((n, 2, S, _LANES), jnp.uint32)
+            for _ in range(3)
+        ]
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -244,30 +339,43 @@ def _ec_call(spec: FieldSpec, mode: str, interpret: bool, *coords):
         out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray(p3), *shaped)
-    return tuple(o.reshape(n, N) for o in outs)
+    if ext == 1:
+        return tuple(o.reshape(n, N) for o in outs)
+    return tuple(o.reshape(n, 2, N) for o in outs)
 
 
 _TILE = _SUBLANES * _LANES
 
 
-def ec_op(spec: FieldSpec, mode: str, *coords, interpret: bool = False):
-    """Batched EC op on flat (n_limbs, *batch) coordinate arrays.
+def ec_op(
+    spec: FieldSpec,
+    mode: str,
+    *coords,
+    ext: int = 1,
+    interpret: bool = False,
+):
+    """Batched EC op on flat (n_limbs[, 2], *batch) coordinate arrays.
 
     Pads the flattened batch to the (sublane x lane) tile, dispatches the
     Pallas kernel, and restores the original batch shape. Padding lanes
     compute garbage on zero limbs (Z=0 -> identity paths), which is
-    discarded on slice-back.
+    discarded on slice-back. ext=2 selects the Fq2 (G2) group law; the
+    tile is halved to keep the doubled per-op VMEM footprint in budget.
     """
-    batch = coords[0].shape[1:]
+    lead = 1 + (ext == 2)
+    batch = coords[0].shape[lead:]
     size = int(np.prod(batch)) if batch else 1
-    padded = -(-size // _TILE) * _TILE
+    tile = _TILE if ext == 1 else _TILE // 2
+    padded = -(-size // tile) * tile
+    head = coords[0].shape[:lead]
     flat = []
     for c in coords:
-        f = c.reshape(c.shape[0], size)
+        f = c.reshape(head + (size,))
         if padded != size:
             f = jnp.concatenate(
-                [f, jnp.zeros((c.shape[0], padded - size), jnp.uint32)], axis=1
+                [f, jnp.zeros(head + (padded - size,), jnp.uint32)],
+                axis=-1,
             )
         flat.append(f)
-    outs = _ec_call(spec, mode, interpret, *flat)
-    return tuple(o[:, :size].reshape((o.shape[0],) + batch) for o in outs)
+    outs = _ec_call(spec, mode, ext, interpret, *flat)
+    return tuple(o[..., :size].reshape(head + batch) for o in outs)

@@ -59,7 +59,13 @@ def fence(x):
     return np.asarray(x)
 
 
-def bench_ntt(sizes):
+def bench_ntt(sizes, iters=16):
+    """Per-transform latency from `iters` chained transforms in one jit:
+    a single dispatch through the axon relay costs ~35 ms regardless of
+    work (experiments/rowshuffle_probe.py), so one-shot timing would be
+    overhead-bound at these sizes."""
+    from jax import lax
+
     spec = BLS12_381_FR
     rng = np.random.default_rng(0)
     for log_n in sizes:
@@ -69,14 +75,41 @@ def bench_ntt(sizes):
         xd = jax.device_put(x)
         y = nttmod.ntt(spec, xd)
         fence(y[0, :1])  # compile + sync
-        t0 = time.perf_counter()
-        y = nttmod.ntt(spec, xd)
-        fence(y[0, :1])
-        dt = time.perf_counter() - t0
-        # round trip correctness
         back = fence(nttmod.intt(spec, y))
         assert (back == x).all(), f"NTT round-trip failed at 2^{log_n}"
-        record(f"ntt_bls381_fr_2^{log_n}", dt * 1e3, "ms", {"roundtrip_ok": True})
+
+        tables = None
+        if n >= nttmod._FOURSTEP_MIN:
+            from openzl_tpu.ops import ntt_kernel
+
+            tables = nttmod._fourstep_tables(
+                spec, log_n, False, ntt_kernel._M_MAX, 1
+            )
+
+        @jax.jit
+        def chain(v):
+            def body(c, _):
+                if tables is not None:
+                    c = nttmod._fourstep_core(spec, c, tables, False)
+                else:
+                    c = nttmod._ntt_core(spec, c, False)
+                return c, None
+
+            out, _ = lax.scan(body, v, None, length=iters)
+            return out
+
+        out = chain(xd)
+        fence(out[0, :1])
+        t0 = time.perf_counter()
+        out = chain(xd)
+        fence(out[0, :1])
+        dt = (time.perf_counter() - t0) / iters
+        record(
+            f"ntt_bls381_fr_2^{log_n}",
+            dt * 1e3,
+            "ms",
+            {"roundtrip_ok": True, "amortized_iters": iters},
+        )
 
 
 def bench_msm(sizes):

@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 
-from openzl_tpu.curves import BLS12_381_G1, BN254_G1
+from openzl_tpu.curves import BLS12_381_G1, BLS12_381_G2, BN254_G1
 from openzl_tpu.curves import jacobian as jac
 from openzl_tpu.fields import limb
 from openzl_tpu.ops import ec_kernel
@@ -38,7 +38,12 @@ def check_ops(curve):
     pts[0] = None
     qts[1] = None
     qts[2] = pts[2]
-    qts[3] = (pts[3][0], curve.base.modulus - pts[3][1])
+    p = curve.base.modulus
+    if curve.ext == 1:
+        qts[3] = (pts[3][0], p - pts[3][1])
+    else:
+        y0, y1 = pts[3][1]
+        qts[3] = (pts[3][0], ((p - y0) % p, (p - y1) % p))
     P = jac.from_affine_ints(curve, pts)
     Q = jac.from_affine_ints(curve, qts)
     for mode in ("add", "madd"):
@@ -87,7 +92,9 @@ def main():
     assert jax.default_backend() == "tpu", "EC kernels need the TPU backend"
     check_ops(BN254_G1)
     check_ops(BLS12_381_G1)
+    check_ops(BLS12_381_G2)
     time_msm(BLS12_381_G1, 16)
+    time_msm(BLS12_381_G2, 14)
     print("EC kernel drive: ALL OK", flush=True)
 
 
