@@ -195,7 +195,21 @@ def _bitrev_idx(m: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _root_powers(spec: FieldSpec, log_n: int, inverse: bool) -> np.ndarray:
     """R[:, j] = w^j (Montgomery limbs) for all j < N; every twiddle table
-    in the four-step plan is a fancy-index of this one array."""
+    in the four-step plan is a fancy-index of this one array.
+
+    The bigint power chain + pack is minutes of host time at 2^21+, so the
+    packed array is cached on disk per (field, size, direction)."""
+    import pathlib
+    import tempfile
+
+    cache_dir = pathlib.Path(tempfile.gettempdir()) / "openzl_ntt_tables"
+    tag = f"R_{spec.name}_{log_n}_{'inv' if inverse else 'fwd'}.npy"
+    path = cache_dir / tag
+    if path.exists():
+        try:
+            return np.load(path)
+        except Exception:
+            pass  # corrupt/partial file: rebuild below
     n = 1 << log_n
     p = spec.modulus
     w = group_gen(spec, log_n)
@@ -206,7 +220,18 @@ def _root_powers(spec: FieldSpec, log_n: int, inverse: bool) -> np.ndarray:
     for j in range(n):
         pows[j] = acc
         acc = acc * w % p
-    return limb.pack_mont(spec, pows)
+    R = limb.pack_mont(spec, pows)
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        tmp = tempfile.NamedTemporaryFile(
+            dir=cache_dir, suffix=".npy", delete=False
+        )
+        np.save(tmp, R)
+        tmp.close()
+        pathlib.Path(tmp.name).rename(path)  # atomic vs concurrent writers
+    except Exception:
+        pass  # cache is best-effort
+    return R
 
 
 def _stage_twiddles(spec, R, n, m):
@@ -241,9 +266,10 @@ def _build_node(spec, R, n, nt, m_max, c):
     `br` un-reverses the column kernel's bit-reversed rows — applied as a
     coarse row gather (rows are n2*c lanes wide) right after each kernel,
     so every level hands natural-order rows downstream and no final
-    permutation exists at all. level_tw is therefore natural-order
-    (level_tw[r, j] = w_nt^{r * j}) and pre-tiled across the carried axis
-    so the twiddle correction is one flat same-shape `mont_mul`."""
+    permutation exists at all. level_tw rides INTO the kernel as its fused
+    post-multiply (rows pre-permuted to the kernel's bit-reversed output
+    order: level_tw[r, j] = w_nt^{bitrev(r) * j}) and is pre-tiled across
+    the carried axis — the twiddle correction costs no extra HBM pass."""
     if nt <= m_max:
         return (
             _stage_twiddles(spec, R, n, nt),
@@ -252,11 +278,17 @@ def _build_node(spec, R, n, nt, m_max, c):
             None,
         )
     n1 = m_max
+    if nt // n1 < 16:
+        # avoid a tiny tail transform (e.g. 2^20 = 64*64*64*4): a base
+        # kernel with M < 8 sublanes pads every op to (8, 128) tiles and
+        # its grid is huge; balance the last split instead (64*64*16*16)
+        n1 = max(2, nt // 16)
     n2 = nt // n1
     stage_tw = _stage_twiddles(spec, R, n, n1)
+    br = _bitrev_idx(n1)
     e = (
         (n // nt)
-        * np.arange(n1, dtype=np.int64)[:, None]
+        * br[:, None]
         * np.arange(n2, dtype=np.int64)[None, :]
         % n
     )
@@ -265,7 +297,7 @@ def _build_node(spec, R, n, nt, m_max, c):
     ).reshape(spec.n_limbs, n1, n2 * c)
     return (
         stage_tw,
-        _bitrev_idx(n1).astype(np.int32),
+        br.astype(np.int32),
         tiled,
         _build_node(spec, R, n, n2, m_max, n1 * c),
     )
@@ -297,15 +329,14 @@ def _apply_node(spec, x, node, interpret):
     stage_tw, br, level_tw, inner = node
     n, nt, c = x.shape
     if inner is None:
-        y = ntt_kernel.small_ntt(spec, x, stage_tw, interpret)
+        y = ntt_kernel.small_ntt(spec, x, stage_tw, None, interpret)
         return jnp.take(y, br, axis=1)
     n1 = 1 << stage_tw.shape[1]  # stage_tw is (n_limbs, log2(n1), n1)
     n2 = nt // n1
     y = ntt_kernel.small_ntt(
-        spec, x.reshape(n, n1, n2 * c), stage_tw, interpret
+        spec, x.reshape(n, n1, n2 * c), stage_tw, level_tw, interpret
     )
-    y = jnp.take(y, br, axis=1)  # coarse row gather: natural-order k1
-    z = ntt_kernel.mont_mul(spec, y, level_tw, interpret)
+    z = jnp.take(y, br, axis=1)  # coarse row gather: natural-order k1
     if c == 1:
         w = z.reshape(n, n1, n2).transpose(0, 2, 1)
     else:

@@ -156,12 +156,15 @@ _M_MAX = 64
 _ROLL_H = 8
 
 
-def _make_small_ntt_kernel(n0inv: int, M: int, L: int, interpret: bool):
+def _make_small_ntt_kernel(
+    n0inv: int, M: int, L: int, interpret: bool, fused_tw: bool
+):
     n0 = np.uint32(n0inv)
     log_m = M.bit_length() - 1
     roll = jnp.roll if interpret else pltpu.roll
 
-    def kernel(p_ref, x_ref, tw_ref, o_ref):
+    def kernel(p_ref, x_ref, tw_ref, *rest):
+        post_ref, o_ref = rest if fused_tw else (None, rest[0])
         n = p_ref.shape[0]
         p4 = p_ref[...].reshape(n, 1, 1, 1)
         p3 = p_ref[...]
@@ -183,16 +186,21 @@ def _make_small_ntt_kernel(n0inv: int, M: int, L: int, interpret: bool):
                 lo = _k_add(p3, x, up)
                 hi = _k_mont_mul(p3, n0, _k_sub(p3, dn, x), tw)
                 x = jnp.where((iota & np.uint32(h)) == 0, lo, hi)
+        if fused_tw:
+            # four-step level twiddle fused in-core (rows arrive in this
+            # kernel's bit-reversed output order; ops/ntt.py pre-permutes)
+            x = _k_mont_mul(p3, n0, x, post_ref[...])
         o_ref[...] = x
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def small_ntt(
     spec: FieldSpec,
     x: jnp.ndarray,
     stage_tw: jnp.ndarray,
+    post_tw: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched M-point DIF NTT along axis 1 of x (n_limbs, M, Lanes).
@@ -200,7 +208,10 @@ def small_ntt(
     M <= _M_MAX a power of two, Lanes a multiple of 128. `stage_tw` is the
     (n_limbs, log2(M), M) per-stage twiddle table (`ops.ntt._stage_twiddles`
     documents the half-width vs full-width stage layouts). Output is the
-    transform in BIT-REVERSED order along axis 1.
+    transform in BIT-REVERSED order along axis 1. `post_tw` (same shape as
+    x, rows in that same bit-reversed order) is an optional elementwise
+    Montgomery factor applied in-core after the last stage — the four-step
+    driver fuses its level twiddle this way, saving one full HBM pass.
     """
     n, M, lanes = x.shape
     assert M & (M - 1) == 0 and M <= _M_MAX
@@ -216,15 +227,17 @@ def small_ntt(
     twspec = pl.BlockSpec(
         (n, log_m, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    fused = post_tw is not None
+    ops = (jnp.asarray(p3), x, stage_tw) + ((post_tw,) if fused else ())
 
     return pl.pallas_call(
-        _make_small_ntt_kernel(spec.n0inv, M, L, interpret),
+        _make_small_ntt_kernel(spec.n0inv, M, L, interpret, fused),
         grid=(lanes // L,),
-        in_specs=[small, blk, twspec],
+        in_specs=[small, blk, twspec] + ([blk] if fused else []),
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((n, M, lanes), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(p3), x, stage_tw)
+    )(*ops)
 
 
 def butterfly(
