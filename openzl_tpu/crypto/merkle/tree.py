@@ -28,6 +28,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ...fields import limb
 from ...fields.spec import FieldSpec
@@ -122,11 +123,43 @@ class MerkleTree:
     def from_leaf_digests(
         cls, parameters: MerkleParameters, digests: np.ndarray
     ) -> "MerkleTree":
-        """Bulk batched build: one Poseidon batch per level."""
+        """Bulk batched build: one Poseidon batch per level.
+
+        Large builds route through `_build_level_masked`, a SINGLE jitted
+        shape reused by every level: the buffer stays at the padded leaf
+        width W for all height-1 steps, with the occupied width carried as
+        a device scalar (mask + re-pad inside the trace). One XLA compile
+        per tree size instead of one per level — at height 20 the per-level
+        hash work (~W/2 pairs) is milliseconds while each distinct compiled
+        shape costs tens of seconds on TPU, so constant-shape wins by ~20x
+        on cold builds.
+        """
         digests = np.asarray(digests)
         count = digests.shape[1]
         assert count <= parameters.capacity
         levels = [digests]
+        if count > _MASKED_BUILD_MIN:
+            W = 1 << (count - 1).bit_length()
+            buf = jnp.asarray(digests)
+            if W != count:
+                buf = jnp.concatenate(
+                    [
+                        buf,
+                        jnp.zeros(
+                            (buf.shape[0], W - count), dtype=buf.dtype
+                        ),
+                    ],
+                    axis=1,
+                )
+            flat = np.asarray(
+                _build_levels_scanned(parameters, parameters.height, count, buf)
+            )
+            w, off = count, 0
+            for _ in range(parameters.height - 1):
+                w = (w + 1) // 2
+                levels.append(flat[:, off : off + w])
+                off += w
+            return cls(parameters, count, tuple(levels))
         current = digests
         for _ in range(parameters.height - 1):
             current = np.asarray(_build_level(parameters, jnp.asarray(current)))
@@ -237,6 +270,93 @@ def _build_level_bucketed(
         )
     rebuilt = np.asarray(_build_level(parameters, jnp.asarray(dirty)))
     return rebuilt[:, : (w + 1) // 2]
+
+
+#: bulk builds above this leaf count use the constant-shape masked builder
+_MASKED_BUILD_MIN = 4096
+
+
+def _masked_step(
+    parameters: MerkleParameters, buf: jnp.ndarray, occ: jnp.ndarray
+):
+    """One level step at a CONSTANT buffer width (single trace for a build).
+
+    `buf` is (n_limbs, W) with W a power of two and entries at index >= occ
+    all zero (the absent-subtree sentinel). Hashes all W/2 pairs, zeroes
+    the parents beyond ceil(occ/2) (their inputs were padding), and re-pads
+    to width W so the next level reuses this exact trace. Returns
+    (new_buf, new_occ).
+    """
+    n, W = buf.shape
+    pairs = jnp.swapaxes(buf.reshape(n, -1, 2), 1, 2)  # (n, 2, W/2)
+    n_pairs = pairs.shape[2]
+    if (
+        n_pairs % 4096 == 0
+        and jax.default_backend() == "tpu"
+        and hasattr(parameters, "poseidon")
+    ):
+        from ...ops import poseidon_kernel
+
+        hashed = poseidon_kernel.hash_batch(parameters.poseidon, pairs)
+    else:
+        hashed = parameters.join(pairs[:, 0], pairs[:, 1])  # (n, W/2)
+    new_occ = (occ + 1) // 2
+    mask = jnp.arange(n_pairs, dtype=jnp.int32) < new_occ
+    hashed = jnp.where(mask[None, :], hashed, 0)
+    new_buf = jnp.concatenate([hashed, jnp.zeros_like(hashed)], axis=1)
+    return new_buf, new_occ
+
+
+_build_level_masked = jax.jit(_masked_step, static_argnums=0)
+
+
+#: smallest buffer width the in-jit build hashes at (= 4096 pairs, the
+#: Poseidon Pallas kernel's grid quantum); narrower levels pad up to it
+_SCAN_FLOOR = 8192
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _build_levels_scanned(
+    parameters: MerkleParameters, height: int, count: int, buf: jnp.ndarray
+):
+    """All height-1 level steps in ONE dispatch (unrolled in-trace loop).
+
+    The buffer halves per level until it reaches `_SCAN_FLOOR`, then stays
+    constant (mask + re-pad), so the trace contains only
+    log2(W/_SCAN_FLOOR)+1 distinct hash shapes — each compiled once and
+    cached persistently — while hashing only ~2n + height*floor pairs
+    total. Everything runs in one host->device round trip (through the
+    axon relay each dispatch costs ~15 ms), and the per-level outputs come
+    back as ONE flat array (a single readback) that the caller splits.
+    """
+    n = buf.shape[0]
+    occ = jnp.asarray(count, dtype=jnp.int32)
+    outs = []
+    w = count
+    for _ in range(height - 1):
+        W = buf.shape[1]
+        pairs = jnp.swapaxes(buf.reshape(n, -1, 2), 1, 2)  # (n, 2, W/2)
+        n_pairs = pairs.shape[2]
+        if (
+            n_pairs % 4096 == 0
+            and jax.default_backend() == "tpu"
+            and hasattr(parameters, "poseidon")
+        ):
+            from ...ops import poseidon_kernel
+
+            hashed = poseidon_kernel.hash_batch(parameters.poseidon, pairs)
+        else:
+            hashed = parameters.join(pairs[:, 0], pairs[:, 1])
+        occ = (occ + 1) // 2
+        mask = jnp.arange(n_pairs, dtype=jnp.int32) < occ
+        hashed = jnp.where(mask[None, :], hashed, 0)
+        w = (w + 1) // 2
+        outs.append(hashed[:, :w])
+        if W // 2 >= _SCAN_FLOOR:
+            buf = hashed  # shrink: next level hashes half the pairs
+        else:
+            buf = jnp.concatenate([hashed, jnp.zeros_like(hashed)], axis=1)
+    return jnp.concatenate(outs, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=0)

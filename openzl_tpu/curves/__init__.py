@@ -8,6 +8,8 @@ Groth16 verification.
 """
 
 from .spec import (
+    BLS12_377_G1,
+    BLS12_377_G2,
     BLS12_381_G1,
     BLS12_381_G2,
     BN254_G1,
@@ -18,6 +20,8 @@ from .spec import (
 
 __all__ = [
     "CurveSpec",
+    "BLS12_377_G1",
+    "BLS12_377_G2",
     "BLS12_381_G1",
     "BLS12_381_G2",
     "BN254_G1",

@@ -41,7 +41,9 @@ class JPoint(NamedTuple):
 
 
 def field_ops(curve: CurveSpec) -> FieldOps:
-    return fq2_ops(curve.base) if curve.ext == 2 else fq_ops(curve.base)
+    return (
+        fq2_ops(curve.base, curve.nr2) if curve.ext == 2 else fq_ops(curve.base)
+    )
 
 
 def _batch_shape(curve: CurveSpec, P: JPoint):
@@ -140,7 +142,8 @@ def double(curve: CurveSpec, P: JPoint) -> JPoint:
 
         return JPoint(
             *ec_kernel.ec_op(
-                curve.base, "dbl", P.x, P.y, P.z, ext=curve.ext
+                curve.base, "dbl", P.x, P.y, P.z, ext=curve.ext,
+                beta=curve.nr2,
             )
         )
     F = field_ops(curve)
@@ -172,6 +175,7 @@ def add(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
                 "add",
                 bx[0], by[0], bz[0], bx[1], by[1], bz[1],
                 ext=curve.ext,
+                beta=curve.nr2,
             )
         )
     F = field_ops(curve)
@@ -229,6 +233,7 @@ def madd(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
                 "madd",
                 bx[0], by[0], bz[0], bx[1], by[1], bz[1],
                 ext=curve.ext,
+                beta=curve.nr2,
             )
         )
     F = field_ops(curve)

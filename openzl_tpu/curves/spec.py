@@ -12,6 +12,8 @@ import dataclasses
 from typing import Tuple, Union
 
 from ..fields.spec import (
+    BLS12_377_FQ,
+    BLS12_377_FR,
     BLS12_381_FQ,
     BLS12_381_FR,
     BN254_FQ,
@@ -36,6 +38,9 @@ class CurveSpec:
     gen_y: Coord
     ext: int = 1
     cofactor: int = 1
+    #: Fq2 non-residue (u^2 = nr2) for ext=2 coordinates; -1 for the
+    #: BN254/BLS12-381 towers, -5 for BLS12-377 (arkworks fq2.rs configs)
+    nr2: int = -1
 
     def is_on_curve_int(self, x: int, y: int) -> bool:
         assert self.ext == 1
@@ -105,8 +110,53 @@ BN254_G2 = CurveSpec(
     ext=2,
 )
 
+#: BLS12-377 G1 (arkworks ark-bls12-377 g1 config; y^2 = x^3 + 1).
+#: p/r derive from the BLS12 seed x = 0x8508C00000000001 (r = x^4 - x^2 + 1,
+#: p = (x-1)^2 r / 3 + x); generator verified on-curve with order r.
+BLS12_377_G1 = CurveSpec(
+    name="bls12_377_g1",
+    base=BLS12_377_FQ,
+    scalar=BLS12_377_FR,
+    a=0,
+    b=1,
+    gen_x=81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+    gen_y=241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    cofactor=0x170B5D44300000000000000000000000,  # (x-1)^2 / 3
+)
+
+#: BLS12-377 G2 over Fq2 with u^2 = -5 (D-twist: y^2 = x^3 + 1/u, i.e.
+#: b' = (0, -1/5 mod p)); generator verified on the twist with order r.
+BLS12_377_G2 = CurveSpec(
+    name="bls12_377_g2",
+    base=BLS12_377_FQ,
+    scalar=BLS12_377_FR,
+    a=0,
+    b=(
+        0,
+        155198655607781456406391640216936120121836107652948796323930557600032281009004493664981332883744016074664192874906,
+    ),
+    gen_x=(
+        233578398248691099356572568220835526895379068987715365179118596935057653620464273615301663571204657964920925606294,
+        140913150380207355837477652521042157274541796891053068589147167627541651775299824604154852141315666357241556069118,
+    ),
+    gen_y=(
+        63160294768292073209381361943935198908131692476676907196754037919244929611450776219210369229519898517858833747423,
+        149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491,
+    ),
+    ext=2,
+    nr2=-5,
+)
+
 REGISTRY = {
-    c.name: c for c in (BLS12_381_G1, BLS12_381_G2, BN254_G1, BN254_G2)
+    c.name: c
+    for c in (
+        BLS12_381_G1,
+        BLS12_381_G2,
+        BN254_G1,
+        BN254_G2,
+        BLS12_377_G1,
+        BLS12_377_G2,
+    )
 }
 
 

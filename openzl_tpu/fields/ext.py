@@ -7,8 +7,8 @@ axis FIRST (required by :mod:`openzl_tpu.fields.limb`) and the batch LAST:
 
   * Fq:  (n_limbs, *batch)
   * Fq2: (n_limbs, 2, *batch) — component axis 1 holds (c0, c1) for
-    c0 + c1*u with u^2 = -1 (the non-residue of both BN254 and BLS12-381
-    Fq2 towers). The component axis is just another batch axis for the limb
+    c0 + c1*u with u^2 = beta (-1 for the BN254/BLS12-381 towers, -5 for
+    BLS12-377). The component axis is just another batch axis for the limb
     kernels, so add/sub/etc. apply componentwise with no reshuffling.
 
 Every op broadcasts over the leading value axes; batch-structural ops
@@ -116,14 +116,33 @@ class FqOps(_BatchStructOps):
 
 @dataclasses.dataclass(frozen=True)
 class Fq2Ops(_BatchStructOps):
-    """Quadratic extension c0 + c1*u, u^2 = -1; value shape (n_limbs, 2, *b).
+    """Quadratic extension c0 + c1*u, u^2 = beta; value shape (n_limbs, 2, *b).
 
-    Matches the arkworks Fq2 configs of BN254 and BLS12-381 (non-residue -1).
+    beta is a small negative non-residue: -1 for the BN254 / BLS12-381
+    towers, -5 for BLS12-377 (arkworks fq2.rs configs). Multiplications by
+    |beta| are addition chains, so any small beta costs the same 3 montmuls
+    per Fq2 mul.
     """
 
     spec: FieldSpec
+    beta: int = -1
 
     value_ndim = 2
+
+    def _nr(self, x):
+        """|beta| * x via doubling chain (|beta| is tiny and static)."""
+        k = -self.beta
+        assert k >= 1
+        s = self.spec
+        bit = x
+        acc = None
+        while k:
+            if k & 1:
+                acc = bit if acc is None else limb.add(s, acc, bit)
+            k >>= 1
+            if k:
+                bit = limb.add(s, bit, bit)
+        return acc
 
     @staticmethod
     def _c(v, i):
@@ -177,32 +196,45 @@ class Fq2Ops(_BatchStructOps):
         return limb.add(self.spec, a, a)
 
     def mul(self, a, b):
-        """Karatsuba: (a0+a1 u)(b0+b1 u) = (a0b0 - a1b1) + ((a0+a1)(b0+b1)
-        - a0b0 - a1b1) u."""
+        """Karatsuba: (a0+a1 u)(b0+b1 u) = (a0b0 + beta a1b1) +
+        ((a0+a1)(b0+b1) - a0b0 - a1b1) u."""
         s = self.spec
         a0, a1 = self._c(a, 0), self._c(a, 1)
         b0, b1 = self._c(b, 0), self._c(b, 1)
         m0 = limb.mont_mul_compact(s, a0, b0)
         m1 = limb.mont_mul_compact(s, a1, b1)
         m2 = limb.mont_mul_compact(s, limb.add(s, a0, a1), limb.add(s, b0, b1))
-        c0 = limb.sub(s, m0, m1)
+        c0 = limb.sub(s, m0, self._nr(m1))
         c1 = limb.sub(s, m2, limb.add(s, m0, m1))
         return self._stack(c0, c1)
 
     def sqr(self, a):
-        """(a0+a1 u)^2 = (a0+a1)(a0-a1) + 2 a0 a1 u."""
+        """(a0+a1 u)^2 = ((a0+a1)(a0+beta a1) - (beta+1) a0a1) + 2 a0a1 u."""
         s = self.spec
         a0, a1 = self._c(a, 0), self._c(a, 1)
-        c0 = limb.mont_mul_compact(s, limb.add(s, a0, a1), limb.sub(s, a0, a1))
+        t = limb.mont_mul_compact(
+            s, limb.add(s, a0, a1), limb.sub(s, a0, self._nr(a1))
+        )
         m = limb.mont_mul_compact(s, a0, a1)
+        if self.beta == -1:
+            c0 = t
+        else:
+            # t - (beta+1) m = t + (|beta| - 1) m
+            k = -self.beta - 1
+            extra = m
+            for _ in range(k - 1):
+                extra = limb.add(s, extra, m)
+            c0 = limb.add(s, t, extra)
         return self._stack(c0, limb.add(s, m, m))
 
     def inv(self, a):
-        """1/(a0+a1 u) = (a0 - a1 u) / (a0^2 + a1^2)."""
+        """1/(a0+a1 u) = (a0 - a1 u) / (a0^2 - beta a1^2)."""
         s = self.spec
         a0, a1 = self._c(a, 0), self._c(a, 1)
         norm = limb.add(
-            s, limb.mont_mul_compact(s, a0, a0), limb.mont_mul_compact(s, a1, a1)
+            s,
+            limb.mont_mul_compact(s, a0, a0),
+            self._nr(limb.mont_mul_compact(s, a1, a1)),
         )
         ninv = limb.mont_inv(s, norm)
         return self._stack(
@@ -229,5 +261,5 @@ def fq_ops(spec: FieldSpec) -> FqOps:
 
 
 @functools.lru_cache(maxsize=None)
-def fq2_ops(spec: FieldSpec) -> Fq2Ops:
-    return Fq2Ops(spec)
+def fq2_ops(spec: FieldSpec, beta: int = -1) -> Fq2Ops:
+    return Fq2Ops(spec, beta)

@@ -131,8 +131,30 @@ BLS12_381_FQ = FieldSpec(
     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
 )
 
+#: BLS12-377 scalar field; reference: arkworks `bls12_377::Fr`
+#: (r = x^4 - x^2 + 1, x = 0x8508C00000000001; two-adicity 47).
+BLS12_377_FR = FieldSpec(
+    "bls12_377_fr",
+    0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001,
+)
+
+#: BLS12-377 base field; reference: arkworks `bls12_377::Fq`
+#: (p = (x-1)^2 r / 3 + x; 377 bits, two-adicity 46).
+BLS12_377_FQ = FieldSpec(
+    "bls12_377_fq",
+    0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
+)
+
 REGISTRY = {
-    spec.name: spec for spec in (BN254_FR, BN254_FQ, BLS12_381_FR, BLS12_381_FQ)
+    spec.name: spec
+    for spec in (
+        BN254_FR,
+        BN254_FQ,
+        BLS12_381_FR,
+        BLS12_381_FQ,
+        BLS12_377_FR,
+        BLS12_377_FQ,
+    )
 }
 
 

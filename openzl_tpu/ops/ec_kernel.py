@@ -121,13 +121,27 @@ class _OpsF1:
 class _OpsF2:
     """In-kernel Fq2 ops; values are (c0, c1) tuples of (n, S, L) arrays.
 
-    Same Karatsuba / complex-squaring formulas (u^2 = -1, BN254 and
-    BLS12-381 alike) as the jnp path (`fields.ext`); since every base op
+    Same Karatsuba / complex-squaring formulas as the jnp path
+    (`fields.ext`), parameterized by the tower non-residue u^2 = beta
+    (-1 for BN254/BLS12-381, -5 for BLS12-377); since every base op
     returns canonical residues the results are bit-identical.
     """
 
-    def __init__(self, p, n0):
+    def __init__(self, p, n0, beta=-1):
         self.b = _OpsF1(p, n0)
+        self.beta = beta
+
+    def _nr(self, x):
+        """|beta| * x via a doubling chain (|beta| tiny, trace-time)."""
+        k = -self.beta
+        bit, acc = x, None
+        while k:
+            if k & 1:
+                acc = bit if acc is None else self.b.add(acc, bit)
+            k >>= 1
+            if k:
+                bit = self.b.add(bit, bit)
+        return acc
 
     def add(self, a, b):
         return (self.b.add(a[0], b[0]), self.b.add(a[1], b[1]))
@@ -142,11 +156,24 @@ class _OpsF2:
         m0 = self.b.mul(a[0], b[0])
         m1 = self.b.mul(a[1], b[1])
         m2 = self.b.mul(self.b.add(a[0], a[1]), self.b.add(b[0], b[1]))
-        return (self.b.sub(m0, m1), self.b.sub(m2, self.b.add(m0, m1)))
+        return (
+            self.b.sub(m0, self._nr(m1)),
+            self.b.sub(m2, self.b.add(m0, m1)),
+        )
 
     def sqr(self, a):
-        c0 = self.b.mul(self.b.add(a[0], a[1]), self.b.sub(a[0], a[1]))
+        # (a0+a1)(a0 + beta a1) = a0^2 + beta a1^2 + (1+beta) a0 a1
+        t = self.b.mul(
+            self.b.add(a[0], a[1]), self.b.sub(a[0], self._nr(a[1]))
+        )
         m = self.b.mul(a[0], a[1])
+        if self.beta == -1:
+            c0 = t
+        else:
+            extra = m
+            for _ in range(-self.beta - 2):
+                extra = self.b.add(extra, m)
+            c0 = self.b.add(t, extra)
         return (c0, self.b.add(m, m))
 
     def is_zero(self, a):
@@ -249,16 +276,16 @@ def _join(v, ext):
     return v if ext == 1 else jnp.stack(v, axis=1)
 
 
-def _ops(ext, p, n0):
-    return _OpsF1(p, n0) if ext == 1 else _OpsF2(p, n0)
+def _ops(ext, p, n0, beta=-1):
+    return _OpsF1(p, n0) if ext == 1 else _OpsF2(p, n0, beta)
 
 
-def _make_add_kernel(n0inv: int, mixed: bool, ext: int):
+def _make_add_kernel(n0inv: int, mixed: bool, ext: int, beta: int = -1):
     n0 = np.uint32(n0inv)
 
     def kernel(p_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
         p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
-        F = _ops(ext, p, n0)
+        F = _ops(ext, p, n0, beta)
         X3, Y3, Z3 = _add_core(
             F,
             (_split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)),
@@ -272,12 +299,12 @@ def _make_add_kernel(n0inv: int, mixed: bool, ext: int):
     return kernel
 
 
-def _make_dbl_kernel(n0inv: int, ext: int):
+def _make_dbl_kernel(n0inv: int, ext: int, beta: int = -1):
     n0 = np.uint32(n0inv)
 
     def kernel(p_ref, x1, y1, z1, ox, oy, oz):
         p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
-        F = _ops(ext, p, n0)
+        F = _ops(ext, p, n0, beta)
         X3, Y3, Z3 = _k_ec_double(
             F, _split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)
         )
@@ -288,8 +315,8 @@ def _make_dbl_kernel(n0inv: int, ext: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _ec_call(spec: FieldSpec, mode: str, ext: int, interpret: bool, *coords):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _ec_call(spec: FieldSpec, mode: str, ext: int, beta: int, interpret: bool, *coords):
     """mode: 'add' | 'madd' | 'dbl'. coords: flat (n, N) (ext=1) or
     (n, 2, N) (ext=2) arrays, N a multiple of the batch tile."""
     n = spec.n_limbs
@@ -302,9 +329,9 @@ def _ec_call(spec: FieldSpec, mode: str, ext: int, interpret: bool, *coords):
     g = S // sub
 
     if mode == "dbl":
-        kernel = _make_dbl_kernel(spec.n0inv, ext)
+        kernel = _make_dbl_kernel(spec.n0inv, ext, beta)
     else:
-        kernel = _make_add_kernel(spec.n0inv, mode == "madd", ext)
+        kernel = _make_add_kernel(spec.n0inv, mode == "madd", ext, beta)
 
     if ext == 1:
         shaped = [c.reshape(n, S, _LANES) for c in coords]
@@ -352,6 +379,7 @@ def ec_op(
     mode: str,
     *coords,
     ext: int = 1,
+    beta: int = -1,
     interpret: bool = False,
 ):
     """Batched EC op on flat (n_limbs[, 2], *batch) coordinate arrays.
@@ -377,5 +405,5 @@ def ec_op(
                 axis=-1,
             )
         flat.append(f)
-    outs = _ec_call(spec, mode, ext, interpret, *flat)
+    outs = _ec_call(spec, mode, ext, beta, interpret, *flat)
     return tuple(o[..., :size].reshape(head + batch) for o in outs)

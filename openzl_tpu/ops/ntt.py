@@ -38,6 +38,7 @@ from ..fields.spec import FieldSpec
 GENERATORS = {
     "bn254_fr": 5,
     "bls12_381_fr": 7,
+    "bls12_377_fr": 22,
     "babybear": 31,
 }
 

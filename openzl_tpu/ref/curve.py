@@ -21,6 +21,7 @@ class _F:
     def __init__(self, curve: CurveSpec):
         self.p = curve.base.modulus
         self.ext = curve.ext
+        self.beta = curve.nr2
 
     def add(self, a, b):
         return (a + b) % self.p if self.ext == 1 else tf.f2_add(self.p, a, b)
@@ -32,10 +33,18 @@ class _F:
         return (-a) % self.p if self.ext == 1 else tf.f2_neg(self.p, a)
 
     def mul(self, a, b):
-        return a * b % self.p if self.ext == 1 else tf.f2_mul(self.p, a, b)
+        return (
+            a * b % self.p
+            if self.ext == 1
+            else tf.f2_mul(self.p, a, b, self.beta)
+        )
 
     def inv(self, a):
-        return pow(a, -1, self.p) if self.ext == 1 else tf.f2_inv(self.p, a)
+        return (
+            pow(a, -1, self.p)
+            if self.ext == 1
+            else tf.f2_inv(self.p, a, self.beta)
+        )
 
     def scalar(self, a, k: int):
         return a * k % self.p if self.ext == 1 else tf.f2_scalar(self.p, a, k)

@@ -1,8 +1,8 @@
 """Pure-Python tower-field oracle: Fp, Fp2, Fp6, Fp12 (test/verify path).
 
-Mirrors the arkworks tower construction for BN254 / BLS12-381
+Mirrors the arkworks tower construction for BN254 / BLS12-381 / BLS12-377
 (SURVEY.md section 2.8 ark-ff row):
-  Fp2  = Fp[u]  / (u^2 + 1)
+  Fp2  = Fp[u]  / (u^2 - beta)      beta = -1 (default) or -5 (BLS12-377)
   Fp6  = Fp2[v] / (v^3 - xi)        xi = 1+u (BLS12-381), 9+u (BN254)
   Fp12 = Fp6[w] / (w^2 - v)
 
@@ -22,7 +22,7 @@ Fp12 = Tuple[Fp6, Fp6]
 
 
 # ---------------------------------------------------------------------------
-# Fp2 (u^2 = -1)
+# Fp2 (u^2 = beta, beta a small non-residue; -1 for BN254/BLS12-381)
 # ---------------------------------------------------------------------------
 
 
@@ -38,15 +38,15 @@ def f2_neg(p: int, a: Fp2) -> Fp2:
     return ((-a[0]) % p, (-a[1]) % p)
 
 
-def f2_mul(p: int, a: Fp2, b: Fp2) -> Fp2:
+def f2_mul(p: int, a: Fp2, b: Fp2, beta: int = -1) -> Fp2:
     return (
-        (a[0] * b[0] - a[1] * b[1]) % p,
+        (a[0] * b[0] + beta * a[1] * b[1]) % p,
         (a[0] * b[1] + a[1] * b[0]) % p,
     )
 
 
-def f2_sqr(p: int, a: Fp2) -> Fp2:
-    return f2_mul(p, a, a)
+def f2_sqr(p: int, a: Fp2, beta: int = -1) -> Fp2:
+    return f2_mul(p, a, a, beta)
 
 
 def f2_scalar(p: int, a: Fp2, k: int) -> Fp2:
@@ -57,8 +57,8 @@ def f2_conj(p: int, a: Fp2) -> Fp2:
     return (a[0], (-a[1]) % p)
 
 
-def f2_inv(p: int, a: Fp2) -> Fp2:
-    norm = (a[0] * a[0] + a[1] * a[1]) % p
+def f2_inv(p: int, a: Fp2, beta: int = -1) -> Fp2:
+    norm = (a[0] * a[0] - beta * a[1] * a[1]) % p
     ninv = pow(norm, -1, p)
     return (a[0] * ninv % p, (-a[1]) * ninv % p)
 
@@ -67,13 +67,13 @@ def f2_is_zero(a: Fp2) -> bool:
     return a[0] == 0 and a[1] == 0
 
 
-def f2_pow(p: int, a: Fp2, e: int) -> Fp2:
+def f2_pow(p: int, a: Fp2, e: int, beta: int = -1) -> Fp2:
     acc: Fp2 = (1, 0)
     base = a
     while e:
         if e & 1:
-            acc = f2_mul(p, acc, base)
-        base = f2_mul(p, base, base)
+            acc = f2_mul(p, acc, base, beta)
+        base = f2_mul(p, base, base, beta)
         e >>= 1
     return acc
 
@@ -103,12 +103,12 @@ def f6_neg(p: int, a: Fp6) -> Fp6:
     return tuple(f2_neg(p, x) for x in a)  # type: ignore
 
 
-def f6_mul(p: int, xi: Fp2, a: Fp6, b: Fp6) -> Fp6:
+def f6_mul(p: int, xi: Fp2, a: Fp6, b: Fp6, beta: int = -1) -> Fp6:
     a0, a1, a2 = a
     b0, b1, b2 = b
-    t0 = f2_mul(p, a0, b0)
-    t1 = f2_mul(p, a1, b1)
-    t2 = f2_mul(p, a2, b2)
+    t0 = f2_mul(p, a0, b0, beta)
+    t1 = f2_mul(p, a1, b1, beta)
+    t2 = f2_mul(p, a2, b2, beta)
     # Karatsuba-like (Toom) combination
     c0 = f2_add(
         p,
@@ -118,25 +118,26 @@ def f6_mul(p: int, xi: Fp2, a: Fp6, b: Fp6) -> Fp6:
             xi,
             f2_sub(
                 p,
-                f2_mul(p, f2_add(p, a1, a2), f2_add(p, b1, b2)),
+                f2_mul(p, f2_add(p, a1, a2), f2_add(p, b1, b2), beta),
                 f2_add(p, t1, t2),
             ),
+            beta,
         ),
     )
     c1 = f2_add(
         p,
         f2_sub(
             p,
-            f2_mul(p, f2_add(p, a0, a1), f2_add(p, b0, b1)),
+            f2_mul(p, f2_add(p, a0, a1), f2_add(p, b0, b1), beta),
             f2_add(p, t0, t1),
         ),
-        f2_mul(p, xi, t2),
+        f2_mul(p, xi, t2, beta),
     )
     c2 = f2_add(
         p,
         f2_sub(
             p,
-            f2_mul(p, f2_add(p, a0, a2), f2_add(p, b0, b2)),
+            f2_mul(p, f2_add(p, a0, a2), f2_add(p, b0, b2), beta),
             f2_add(p, t0, t2),
         ),
         t1,
@@ -144,23 +145,27 @@ def f6_mul(p: int, xi: Fp2, a: Fp6, b: Fp6) -> Fp6:
     return (c0, c1, c2)
 
 
-def f6_mul_by_v(p: int, xi: Fp2, a: Fp6) -> Fp6:
+def f6_mul_by_v(p: int, xi: Fp2, a: Fp6, beta: int = -1) -> Fp6:
     """v * (a0 + a1 v + a2 v^2) = xi a2 + a0 v + a1 v^2."""
-    return (f2_mul(p, xi, a[2]), a[0], a[1])
+    return (f2_mul(p, xi, a[2], beta), a[0], a[1])
 
 
-def f6_inv(p: int, xi: Fp2, a: Fp6) -> Fp6:
+def f6_inv(p: int, xi: Fp2, a: Fp6, beta: int = -1) -> Fp6:
     a0, a1, a2 = a
-    c0 = f2_sub(p, f2_sqr(p, a0), f2_mul(p, xi, f2_mul(p, a1, a2)))
-    c1 = f2_sub(p, f2_mul(p, xi, f2_sqr(p, a2)), f2_mul(p, a0, a1))
-    c2 = f2_sub(p, f2_sqr(p, a1), f2_mul(p, a0, a2))
+    c0 = f2_sub(p, f2_sqr(p, a0, beta), f2_mul(p, xi, f2_mul(p, a1, a2, beta), beta))
+    c1 = f2_sub(p, f2_mul(p, xi, f2_sqr(p, a2, beta), beta), f2_mul(p, a0, a1, beta))
+    c2 = f2_sub(p, f2_sqr(p, a1, beta), f2_mul(p, a0, a2, beta))
     t = f2_add(
         p,
-        f2_mul(p, xi, f2_add(p, f2_mul(p, a2, c1), f2_mul(p, a1, c2))),
-        f2_mul(p, a0, c0),
+        f2_mul(p, xi, f2_add(p, f2_mul(p, a2, c1, beta), f2_mul(p, a1, c2, beta)), beta),
+        f2_mul(p, a0, c0, beta),
     )
-    tinv = f2_inv(p, t)
-    return (f2_mul(p, c0, tinv), f2_mul(p, c1, tinv), f2_mul(p, c2, tinv))
+    tinv = f2_inv(p, t, beta)
+    return (
+        f2_mul(p, c0, tinv, beta),
+        f2_mul(p, c1, tinv, beta),
+        f2_mul(p, c2, tinv, beta),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -172,22 +177,22 @@ def f12_one() -> Fp12:
     return (f6_one(), f6_zero())
 
 
-def f12_mul(p: int, xi: Fp2, a: Fp12, b: Fp12) -> Fp12:
+def f12_mul(p: int, xi: Fp2, a: Fp12, b: Fp12, beta: int = -1) -> Fp12:
     a0, a1 = a
     b0, b1 = b
-    t0 = f6_mul(p, xi, a0, b0)
-    t1 = f6_mul(p, xi, a1, b1)
-    c0 = f6_add(p, t0, f6_mul_by_v(p, xi, t1))
+    t0 = f6_mul(p, xi, a0, b0, beta)
+    t1 = f6_mul(p, xi, a1, b1, beta)
+    c0 = f6_add(p, t0, f6_mul_by_v(p, xi, t1, beta))
     c1 = f6_sub(
         p,
-        f6_mul(p, xi, f6_add(p, a0, a1), f6_add(p, b0, b1)),
+        f6_mul(p, xi, f6_add(p, a0, a1), f6_add(p, b0, b1), beta),
         f6_add(p, t0, t1),
     )
     return (c0, c1)
 
 
-def f12_sqr(p: int, xi: Fp2, a: Fp12) -> Fp12:
-    return f12_mul(p, xi, a, a)
+def f12_sqr(p: int, xi: Fp2, a: Fp12, beta: int = -1) -> Fp12:
+    return f12_mul(p, xi, a, a, beta)
 
 
 def f12_conj(p: int, a: Fp12) -> Fp12:
@@ -195,22 +200,29 @@ def f12_conj(p: int, a: Fp12) -> Fp12:
     return (a[0], f6_neg(p, a[1]))
 
 
-def f12_inv(p: int, xi: Fp2, a: Fp12) -> Fp12:
+def f12_inv(p: int, xi: Fp2, a: Fp12, beta: int = -1) -> Fp12:
     a0, a1 = a
-    t = f6_sub(p, f6_mul(p, xi, a0, a0), f6_mul_by_v(p, xi, f6_mul(p, xi, a1, a1)))
-    tinv = f6_inv(p, xi, t)
-    return (f6_mul(p, xi, a0, tinv), f6_neg(p, f6_mul(p, xi, a1, tinv)))
+    t = f6_sub(
+        p,
+        f6_mul(p, xi, a0, a0, beta),
+        f6_mul_by_v(p, xi, f6_mul(p, xi, a1, a1, beta), beta),
+    )
+    tinv = f6_inv(p, xi, t, beta)
+    return (
+        f6_mul(p, xi, a0, tinv, beta),
+        f6_neg(p, f6_mul(p, xi, a1, tinv, beta)),
+    )
 
 
-def f12_pow(p: int, xi: Fp2, a: Fp12, e: int) -> Fp12:
+def f12_pow(p: int, xi: Fp2, a: Fp12, e: int, beta: int = -1) -> Fp12:
     if e < 0:
-        return f12_pow(p, xi, f12_inv(p, xi, a), -e)
+        return f12_pow(p, xi, f12_inv(p, xi, a, beta), -e, beta)
     acc = f12_one()
     base = a
     while e:
         if e & 1:
-            acc = f12_mul(p, xi, acc, base)
-        base = f12_mul(p, xi, base, base)
+            acc = f12_mul(p, xi, acc, base, beta)
+        base = f12_mul(p, xi, base, base, beta)
         e >>= 1
     return acc
 
@@ -219,6 +231,7 @@ def f12_eq(a: Fp12, b: Fp12) -> bool:
     return a == b
 
 
-# Frobenius on Fp2: (c0, c1) -> (c0, -c1) = conjugation (since u^2 = -1)
+# Frobenius on Fp2: (c0, c1) -> (c0, -c1) = conjugation. Valid for ANY
+# non-residue beta: u^p = u * beta^((p-1)/2) = -u.
 def f2_frobenius(p: int, a: Fp2, power: int) -> Fp2:
     return a if power % 2 == 0 else f2_conj(p, a)

@@ -25,7 +25,15 @@ import dataclasses
 import functools
 from typing import Tuple
 
-from ..curves.spec import BLS12_381_G1, BLS12_381_G2, BN254_G1, BN254_G2, CurveSpec
+from ..curves.spec import (
+    BLS12_377_G1,
+    BLS12_377_G2,
+    BLS12_381_G1,
+    BLS12_381_G2,
+    BN254_G1,
+    BN254_G2,
+    CurveSpec,
+)
 from . import fields as tf
 from .fields import Fp2, Fp12
 
@@ -39,6 +47,8 @@ class PairingSpec:
     twist_type: str  # "D" or "M"
     ate_loop: int  # |t - 1|
     ate_negative: bool
+    #: Fp2 non-residue (u^2 = beta): -1 for BN254/BLS12-381, -5 for BLS12-377
+    beta: int = -1
 
     @property
     def p(self) -> int:
@@ -76,6 +86,19 @@ BN254 = PairingSpec(
     ate_negative=False,
 )
 
+_BLS377_X = 0x8508C00000000001  # positive seed
+
+BLS12_377 = PairingSpec(
+    name="bls12_377",
+    g1=BLS12_377_G1,
+    g2=BLS12_377_G2,
+    xi=(0, 1),  # Fp6 cubic non-residue v^3 = u
+    twist_type="D",
+    ate_loop=_BLS377_X,  # t - 1 = x
+    ate_negative=False,
+    beta=-5,  # Fq2 = Fq[u] / (u^2 + 5)
+)
+
 
 # ---------------------------------------------------------------------------
 # Fp12 embedding helpers
@@ -101,15 +124,15 @@ def _untwist(spec: PairingSpec, Q: Tuple[Fp2, Fp2]) -> Tuple[Fp12, Fp12]:
 
     w^2 = v, w^3 = v w; w^-2 = w^4/xi = v^2 / xi, w^-3 = w^3/xi = v w / xi.
     """
-    p, xi = spec.p, spec.xi
+    p, xi, beta = spec.p, spec.xi, spec.beta
     xq, yq = Q
     if spec.twist_type == "D":
         X = _f12_from_fp2_at(xq, 1, 0)  # x * v
         Y = _f12_from_fp2_at(yq, 1, 1)  # y * v * w
     else:
-        xi_inv = tf.f2_inv(p, xi)
-        X = _f12_from_fp2_at(tf.f2_mul(p, xq, xi_inv), 2, 0)  # x v^2 / xi
-        Y = _f12_from_fp2_at(tf.f2_mul(p, yq, xi_inv), 1, 1)  # y v w / xi
+        xi_inv = tf.f2_inv(p, xi, beta)
+        X = _f12_from_fp2_at(tf.f2_mul(p, xq, xi_inv, beta), 2, 0)  # x v^2 / xi
+        Y = _f12_from_fp2_at(tf.f2_mul(p, yq, xi_inv, beta), 1, 1)  # y v w / xi
     return X, Y
 
 
@@ -120,24 +143,24 @@ def _untwist(spec: PairingSpec, Q: Tuple[Fp2, Fp2]) -> Tuple[Fp12, Fp12]:
 
 def _line(spec: PairingSpec, A, B, xp: Fp12, yp: Fp12) -> Fp12:
     """Evaluate the line through A, B (affine Fp12 points) at (xp, yp)."""
-    p, xi = spec.p, spec.xi
+    p, xi, beta = spec.p, spec.xi, spec.beta
     xa, ya = A
     xb, yb = B
     if xa == xb:
         if ya == yb:
             # tangent: lam = 3 xa^2 / (2 ya)
-            num = tf.f12_mul(p, xi, _f12_from_fp(3), tf.f12_sqr(p, xi, xa))
-            den = tf.f12_mul(p, xi, _f12_from_fp(2), ya)
+            num = tf.f12_mul(p, xi, _f12_from_fp(3), tf.f12_sqr(p, xi, xa, beta), beta)
+            den = tf.f12_mul(p, xi, _f12_from_fp(2), ya, beta)
         else:
             # vertical: l = xp - xa
             return _f12_sub(p, xp, xa)
     else:
         num = _f12_sub(p, yb, ya)
         den = _f12_sub(p, xb, xa)
-    lam = tf.f12_mul(p, xi, num, tf.f12_inv(p, xi, den))
+    lam = tf.f12_mul(p, xi, num, tf.f12_inv(p, xi, den, beta), beta)
     # l = yp - ya - lam (xp - xa)
     return _f12_sub(
-        p, _f12_sub(p, yp, ya), tf.f12_mul(p, xi, lam, _f12_sub(p, xp, xa))
+        p, _f12_sub(p, yp, ya), tf.f12_mul(p, xi, lam, _f12_sub(p, xp, xa), beta)
     )
 
 
@@ -147,7 +170,7 @@ def _f12_sub(p: int, a: Fp12, b: Fp12) -> Fp12:
 
 def _ec_add_f12(spec: PairingSpec, A, B):
     """Affine addition on E(Fp12) (a = 0); None = identity."""
-    p, xi = spec.p, spec.xi
+    p, xi, beta = spec.p, spec.xi, spec.beta
     if A is None:
         return B
     if B is None:
@@ -155,27 +178,22 @@ def _ec_add_f12(spec: PairingSpec, A, B):
     xa, ya = A
     xb, yb = B
     if xa == xb:
-        if _f12_sub(p, ya, tf.f12_mul(p, xi, _f12_from_fp(-1), yb)) == (
-            tf.f6_zero(),
-            tf.f6_zero(),
-        ):
-            pass
         if ya != yb:
             return None
-        num = tf.f12_mul(p, xi, _f12_from_fp(3), tf.f12_sqr(p, xi, xa))
-        den = tf.f12_mul(p, xi, _f12_from_fp(2), ya)
+        num = tf.f12_mul(p, xi, _f12_from_fp(3), tf.f12_sqr(p, xi, xa, beta), beta)
+        den = tf.f12_mul(p, xi, _f12_from_fp(2), ya, beta)
     else:
         num = _f12_sub(p, yb, ya)
         den = _f12_sub(p, xb, xa)
-    lam = tf.f12_mul(p, xi, num, tf.f12_inv(p, xi, den))
-    x3 = _f12_sub(p, _f12_sub(p, tf.f12_sqr(p, xi, lam), xa), xb)
-    y3 = _f12_sub(p, tf.f12_mul(p, xi, lam, _f12_sub(p, xa, x3)), ya)
+    lam = tf.f12_mul(p, xi, num, tf.f12_inv(p, xi, den, beta), beta)
+    x3 = _f12_sub(p, _f12_sub(p, tf.f12_sqr(p, xi, lam, beta), xa), xb)
+    y3 = _f12_sub(p, tf.f12_mul(p, xi, lam, _f12_sub(p, xa, x3), beta), ya)
     return (x3, y3)
 
 
 def miller_loop(spec: PairingSpec, P: Tuple[int, int], Q: Tuple[Fp2, Fp2]) -> Fp12:
     """f_{T,Q}(P) with T = ate_loop, computed in E(Fp12)."""
-    p, xi = spec.p, spec.xi
+    p, xi, beta = spec.p, spec.xi, spec.beta
     xp = _f12_from_fp(P[0])
     yp = _f12_from_fp(P[1])
     Qt = _untwist(spec, Q)
@@ -183,10 +201,12 @@ def miller_loop(spec: PairingSpec, P: Tuple[int, int], Q: Tuple[Fp2, Fp2]) -> Fp
     f = tf.f12_one()
     bits = bin(spec.ate_loop)[3:]  # skip MSB
     for bit in bits:
-        f = tf.f12_mul(p, xi, tf.f12_sqr(p, xi, f), _line(spec, R, R, xp, yp))
+        f = tf.f12_mul(
+            p, xi, tf.f12_sqr(p, xi, f, beta), _line(spec, R, R, xp, yp), beta
+        )
         R = _ec_add_f12(spec, R, R)
         if bit == "1":
-            f = tf.f12_mul(p, xi, f, _line(spec, R, Qt, xp, yp))
+            f = tf.f12_mul(p, xi, f, _line(spec, R, Qt, xp, yp), beta)
             R = _ec_add_f12(spec, R, Qt)
     if spec.ate_negative:
         f = tf.f12_conj(p, f)  # unitary inverse (final exp removes the rest)
@@ -198,15 +218,15 @@ def pairing(spec: PairingSpec, P, Q) -> Fp12:
     if P is None or Q is None:
         return tf.f12_one()
     f = miller_loop(spec, P, Q)
-    return tf.f12_pow(spec.p, spec.xi, f, spec.final_exp)
+    return tf.f12_pow(spec.p, spec.xi, f, spec.final_exp, spec.beta)
 
 
 def pairing_product_is_one(spec: PairingSpec, pairs) -> bool:
     """prod e(P_i, Q_i) == 1 — the Groth16 verification shape."""
-    p, xi = spec.p, spec.xi
+    p, xi, beta = spec.p, spec.xi, spec.beta
     acc = tf.f12_one()
     for P, Q in pairs:
         if P is None or Q is None:
             continue
-        acc = tf.f12_mul(p, xi, acc, miller_loop(spec, P, Q))
-    return tf.f12_pow(p, xi, acc, spec.final_exp) == tf.f12_one()
+        acc = tf.f12_mul(p, xi, acc, miller_loop(spec, P, Q), beta)
+    return tf.f12_pow(p, xi, acc, spec.final_exp, beta) == tf.f12_one()

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from openzl_tpu.fields import limb
-from openzl_tpu.fields.spec import BLS12_381_FR, BN254_FR
+from openzl_tpu.fields.spec import BLS12_377_FR, BLS12_381_FR, BN254_FR
 from openzl_tpu.ops import ntt as nttmod
 
 RNG = random.Random(0x1717)
@@ -26,7 +26,9 @@ def naive_dft(spec, coeffs, w, offset=1):
     return outs
 
 
-@pytest.mark.parametrize("spec", [BN254_FR, BLS12_381_FR], ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", [BN254_FR, BLS12_381_FR, BLS12_377_FR], ids=lambda s: s.name
+)
 def test_group_gen_properties(spec):
     for log_n in (1, 4, 10):
         n = 1 << log_n
@@ -35,7 +37,9 @@ def test_group_gen_properties(spec):
         assert pow(w, n // 2, spec.modulus) == spec.modulus - 1 or n == 1
 
 
-@pytest.mark.parametrize("spec", [BN254_FR, BLS12_381_FR], ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", [BN254_FR, BLS12_381_FR, BLS12_377_FR], ids=lambda s: s.name
+)
 def test_ntt_matches_naive_dft(spec):
     log_n = 4
     n = 1 << log_n

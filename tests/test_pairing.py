@@ -13,7 +13,9 @@ from openzl_tpu.ref import pairing as pr
 RNG = random.Random(0xFA18)
 
 
-@pytest.mark.parametrize("spec", [pr.BN254, pr.BLS12_381], ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", [pr.BN254, pr.BLS12_381, pr.BLS12_377], ids=lambda s: s.name
+)
 def test_bilinearity(spec):
     G1, G2 = rc.generator(spec.g1), rc.generator(spec.g2)
     a, b = RNG.randrange(1, 1 << 48), RNG.randrange(1, 1 << 48)
@@ -21,11 +23,13 @@ def test_bilinearity(spec):
         spec, rc.scalar_mul(spec.g1, a, G1), rc.scalar_mul(spec.g2, b, G2)
     )
     base = pr.pairing(spec, G1, G2)
-    assert e_ab == tf.f12_pow(spec.p, spec.xi, base, a * b)
+    assert e_ab == tf.f12_pow(spec.p, spec.xi, base, a * b, beta=spec.beta)
     assert base != tf.f12_one()  # non-degenerate
 
 
-@pytest.mark.parametrize("spec", [pr.BN254, pr.BLS12_381], ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", [pr.BN254, pr.BLS12_381, pr.BLS12_377], ids=lambda s: s.name
+)
 def test_same_ratio_product(spec):
     """e(aP, Q) * e(-P, aQ) == 1 (reference assert_valid_pairing_ratio)."""
     G1, G2 = rc.generator(spec.g1), rc.generator(spec.g2)

@@ -99,7 +99,9 @@ def main():
 
     out = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
     prior = json.loads(out.read_text()) if out.exists() else []
-    out.write_text(json.dumps(prior + results, indent=1))
+    seen = {r["metric"] for r in results}
+    merged = [r for r in prior if r["metric"] not in seen] + results
+    out.write_text(json.dumps(merged, indent=1))
     print("wrote", out, flush=True)
 
 

@@ -86,11 +86,14 @@ def bench_ntt(sizes, iters=16):
                 spec, log_n, False, ntt_kernel._M_MAX, 1
             )
 
+        # tables ride in as jit ARGUMENTS: closure-captured device arrays are
+        # inlined as HLO literals, and at 2^21+ the root tables alone exceed
+        # the axon remote-compile request size limit (HTTP 413)
         @jax.jit
-        def chain(v):
+        def chain(v, tb):
             def body(c, _):
-                if tables is not None:
-                    c = nttmod._fourstep_core(spec, c, tables, False)
+                if tb is not None:
+                    c = nttmod._fourstep_core(spec, c, tb, False)
                 else:
                     c = nttmod._ntt_core(spec, c, False)
                 return c, None
@@ -98,10 +101,10 @@ def bench_ntt(sizes, iters=16):
             out, _ = lax.scan(body, v, None, length=iters)
             return out
 
-        out = chain(xd)
+        out = chain(xd, tables)
         fence(out[0, :1])
         t0 = time.perf_counter()
-        out = chain(xd)
+        out = chain(xd, tables)
         fence(out[0, :1])
         dt = (time.perf_counter() - t0) / iters
         record(
@@ -155,10 +158,16 @@ def bench_merkle(height=20, n_leaves=1 << 16):
     t0 = time.perf_counter()
     tree = MerkleTree.from_leaf_digests(params, leaves)
     _ = tree.root()
+    cold = time.perf_counter() - t0
+    # warm rebuild: the masked single-trace builder makes every level reuse
+    # one compiled shape, so steady-state cost is pure hash throughput
+    t0 = time.perf_counter()
+    tree = MerkleTree.from_leaf_digests(params, leaves)
+    _ = tree.root()
     dt = time.perf_counter() - t0
     record(
         f"merkle_build_h{height}_2^{int(np.log2(n_leaves))}", dt * 1e3, "ms",
-        {"leaves_per_s": round(n_leaves / dt, 1)},
+        {"leaves_per_s": round(n_leaves / dt, 1), "cold_ms": round(cold * 1e3, 1)},
     )
 
 
@@ -168,11 +177,18 @@ def main():
     ap.add_argument("--skip-merkle", action="store_true")
     ap.add_argument("--skip-ntt", action="store_true")
     ap.add_argument("--skip-msm", action="store_true")
+    ap.add_argument("--ntt-sizes", type=str, default=None,
+                    help="comma-separated log2 sizes, e.g. 21,22")
+    ap.add_argument("--msm-sizes", type=str, default=None)
     args = ap.parse_args()
     print("platform:", jax.devices()[0].platform, flush=True)
 
     ntt_sizes = [18, 20] if args.quick else [18, 19, 20, 21, 22]
     msm_sizes = [16] if args.quick else [16, 18, 20]
+    if args.ntt_sizes:
+        ntt_sizes = [int(s) for s in args.ntt_sizes.split(",")]
+    if args.msm_sizes:
+        msm_sizes = [int(s) for s in args.msm_sizes.split(",")]
     if not args.skip_ntt:
         bench_ntt(ntt_sizes)
     if not args.skip_msm:
