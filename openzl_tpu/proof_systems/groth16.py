@@ -22,6 +22,8 @@ coset trick divides by the constant Z(g omega^j) = g^n - 1.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -235,6 +237,31 @@ def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
     return [lc.eval(assignment, p) for lc in rows]
 
 
+class _Prof:
+    """Phase wall-clock logger, enabled with OZL_PROFILE=1 (prints to stderr).
+
+    Used to attribute setup/prove wall-clock between host prep, NTTs, and
+    MSMs (VERDICT item: host prep must stay <20% of prove wall-clock)."""
+
+    enabled = bool(int(os.environ.get("OZL_PROFILE", "0")))
+
+    def __init__(self, tag: str) -> None:
+        self.tag = tag
+        self.t = time.perf_counter()
+
+    def lap(self, name: str) -> None:
+        if self.enabled:
+            now = time.perf_counter()
+            import sys
+
+            print(
+                f"[ozl-prof] {self.tag}.{name}: {(now - self.t) * 1e3:.1f} ms",
+                file=sys.stderr,
+                flush=True,
+            )
+            self.t = now
+
+
 # ---------------------------------------------------------------------------
 # the proof system
 # ---------------------------------------------------------------------------
@@ -304,7 +331,9 @@ class Groth16:
         num_vars = cs.num_variables
         ni = cs.num_instance_total
 
+        prof = _Prof("setup")
         lag = _lagrange_at(self.fr, log_n, tau)
+        prof.lap("lagrange")
         host = self._use_host(num_vars)
         prepared = None
         if host:
@@ -321,6 +350,7 @@ class Groth16:
                 [int(x) for x in limb.unpack_mont(self.fr, np.asarray(m.matvec(lag_mont)))]
                 for m in (prepared.at, prepared.bt, prepared.ct)
             )
+        prof.lap("qap_evals")
 
         gamma_inv = pow(gamma, -1, p)
         delta_inv = pow(delta, -1, p)
@@ -328,10 +358,12 @@ class Groth16:
         gamma_abc = [x * gamma_inv % p for x in abc[:ni]]
         l_scalars = [x * delta_inv % p for x in abc[ni:]]
 
-        z_tau = (pow(tau, n, p) - 1) % p
-        h_scalars = [
-            pow(tau, i, p) * z_tau % p * delta_inv % p for i in range(n - 1)
-        ]
+        z_delta = (pow(tau, n, p) - 1) % p * delta_inv % p
+        h_scalars, acc = [], z_delta
+        for _ in range(n - 1):  # tau^i * Z(tau)/delta as a running product
+            h_scalars.append(acc)
+            acc = acc * tau % p
+        prof.lap("host_scalars")
 
         # group encodings — batched fixed-base scalar mul (device or host)
         fixed = _fixed_base_host if host else _fixed_base_batch
@@ -340,6 +372,7 @@ class Groth16:
         b_g2_query = fixed(g2, v)
         h_query = fixed(g1, h_scalars)
         l_query = fixed(g1, l_scalars)
+        prof.lap("fixed_base_queries")
         if host:
             gabc_pts = [
                 refc.scalar_mul(g1, k, refc.generator(g1)) for k in gamma_abc
@@ -383,7 +416,9 @@ class Groth16:
     ) -> Proof:
         p = self.fr.modulus
         g1, g2 = self.pairing.g1, self.pairing.g2
+        prof = _Prof("prove")
         z = cs.assignment()
+        prof.lap("assignment")
         num_vars = len(z)
         ni = pk.num_instance_total
         log_n = pk.domain_log2
@@ -404,9 +439,11 @@ class Groth16:
             if prepared is None or prepared.num_vars != num_vars:
                 prepared = self.prepare(cs)
             z_mont = jnp.asarray(limb.pack_mont(fr, np.array(z, dtype=object)))
+            prof.lap("pack_witness")
             ua = prepared.a.matvec(z_mont)
             va = prepared.b.matvec(z_mont)
             wa = prepared.c.matvec(z_mont)
+        prof.lap("qap_matvec")
 
         # evals on H -> coeffs -> evals on coset gH
         uc = nttmod.coset_ntt(fr, nttmod.intt(fr, ua))
@@ -422,6 +459,7 @@ class Groth16:
         )
         h_coeffs = nttmod.coset_intt(fr, hc)  # degree <= n-2; take n-1 coeffs
         h_canon = limb.from_mont(fr, h_coeffs)[:, : n - 1]
+        prof.lap("h_poly_ntts")
 
         r, s = rng.randrange(p), rng.randrange(p)
 
@@ -446,6 +484,7 @@ class Groth16:
                 if wit_limbs.shape[1]
                 else None
             )
+        prof.lap("msms")
 
         G1a = refc.generator(g1)
         # A = alpha + sum z_k u_k + r delta
@@ -475,6 +514,7 @@ class Groth16:
         C = refc.add(
             g1, C, refc.neg(g1, refc.scalar_mul(g1, r * s % p, pk.delta_g1))
         )
+        prof.lap("finalize")
         return Proof(a=A, b=B2, c=C)
 
     # -- verify ---------------------------------------------------------------

@@ -88,6 +88,16 @@ def main():
         {"constraints": nc, "witness_synthesis_ms": round(t_wit * 1e3, 1)},
     )
 
+    # Warm prove: a prover service reuses the jitted NTT/MSM executables, so
+    # steady-state latency excludes the one-time XLA compiles (fresh r,s —
+    # the proof is re-randomized and re-verified below).
+    t0 = time.perf_counter()
+    proof = g16.prove(pk, prove_cs, RNG)
+    rec(
+        f"groth16_prove_warm_c{nc}", time.perf_counter() - t0,
+        {"constraints": nc},
+    )
+
     t0 = time.perf_counter()
     inputs = InputBuilder(p).extend_field(digest).build()
     ok = g16.verify(pk.vk, inputs, proof)
