@@ -25,7 +25,7 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
-from ..fields.spec import BLS12_381_FR, BN254_FR, FieldSpec
+from ..fields.spec import BLS12_377_FR, BLS12_381_FR, BN254_FR, FieldSpec
 
 Point = Tuple[int, int]  # affine (x, y); identity = (0, 1)
 
@@ -186,6 +186,29 @@ def _jubjub() -> EdwardsSpec:
 def jubjub() -> EdwardsSpec:
     """Jubjub (zcash; arkworks ed_on_bls12_381) with a derived generator."""
     return _jubjub()
+
+
+@functools.lru_cache(maxsize=None)
+def _ed_on_bls12_377() -> EdwardsSpec:
+    q = BLS12_377_FR.modulus
+    base = EdwardsSpec(
+        name="ed_on_bls12_377",
+        base=BLS12_377_FR,
+        a=q - 1,
+        d=3021,
+        order=2111115437357092606062206234695386632838870926408408195193685246394721360383,
+        cofactor=4,
+        gen=(0, 1),
+    )
+    return dataclasses.replace(base, gen=_derive_generator(base))
+
+
+def ed_on_bls12_377() -> EdwardsSpec:
+    """Embedded Edwards curve over BLS12-377 Fr (arkworks ed_on_bls12_377:
+    a = -1, d = 3021, cofactor 4) with a derived generator (same
+    instance-specific convention as `jubjub`); structure checked by
+    `validate`."""
+    return _ed_on_bls12_377()
 
 
 def validate(spec: EdwardsSpec) -> None:

@@ -18,6 +18,8 @@ from ..fields.spec import (
     BLS12_381_FR,
     BN254_FQ,
     BN254_FR,
+    PALLAS_FP,
+    VESTA_FP,
     FieldSpec,
 )
 
@@ -147,6 +149,30 @@ BLS12_377_G2 = CurveSpec(
     nr2=-5,
 )
 
+#: Pasta cycle (reference curve matrix `pallas`/`vesta` features): a 2-cycle
+#: of prime-order a=0 curves — each curve's base field is the other's scalar
+#: field, so recursion-style circuits can alternate curves. No pairing
+#: (plain group ops + MSM only), generator (-1, 2) on both.
+PALLAS = CurveSpec(
+    name="pallas",
+    base=PALLAS_FP,
+    scalar=VESTA_FP,
+    a=0,
+    b=5,
+    gen_x=PALLAS_FP.modulus - 1,
+    gen_y=2,
+)
+
+VESTA = CurveSpec(
+    name="vesta",
+    base=VESTA_FP,
+    scalar=PALLAS_FP,
+    a=0,
+    b=5,
+    gen_x=VESTA_FP.modulus - 1,
+    gen_y=2,
+)
+
 REGISTRY = {
     c.name: c
     for c in (
@@ -156,6 +182,8 @@ REGISTRY = {
         BN254_G2,
         BLS12_377_G1,
         BLS12_377_G2,
+        PALLAS,
+        VESTA,
     )
 }
 

@@ -55,8 +55,24 @@ def _const(spec_limbs: np.ndarray, ndim: int) -> jnp.ndarray:
 
 
 def pack(spec: FieldSpec, values) -> np.ndarray:
-    """Python ints (nested lists / arrays of objects) -> (n_limbs, *batch) uint32."""
+    """Python ints (nested lists / arrays of objects) -> (n_limbs, *batch) uint32.
+
+    Routes through the native C++ converter when built (witness vectors at
+    2^17+ make the per-element Python loop a prove-path bottleneck)."""
     arr = np.asarray(values, dtype=object)
+    if arr.size >= 256:
+        try:
+            from .. import native
+
+            # native packer assumes canonical residues; reduce on the host
+            reduced = np.empty(arr.shape, dtype=object)
+            for idx in np.ndindex(arr.shape):
+                reduced[idx] = int(arr[idx]) % spec.modulus
+            out = native.pack_limbs(spec, reduced)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     out = np.zeros((spec.n_limbs,) + arr.shape, dtype=np.uint32)
     for idx in np.ndindex(arr.shape):
         out[(slice(None),) + idx] = int_to_limbs(int(arr[idx]) % spec.modulus, spec.n_limbs)
@@ -67,6 +83,15 @@ def unpack(spec: FieldSpec, limbs) -> np.ndarray:
     """(n_limbs, *batch) uint32 -> object array of Python ints."""
     limbs = np.asarray(limbs)
     batch_shape = limbs.shape[1:]
+    if int(np.prod(batch_shape)) >= 256:
+        try:
+            from .. import native
+
+            out = native.unpack_limbs(spec, limbs)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     out = np.empty(batch_shape, dtype=object)
     if batch_shape == ():
         return np.array(limbs_to_int(limbs), dtype=object)

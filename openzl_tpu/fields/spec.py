@@ -145,6 +145,19 @@ BLS12_377_FQ = FieldSpec(
     0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
 )
 
+#: Pasta cycle (mina/halo2): Pallas base field = Vesta scalar field and vice
+#: versa. Reference curve matrix rows `pallas`/`vesta`
+#: (plugins/arkworks/Cargo.toml curve features). Two-adicity 32 both.
+PALLAS_FP = FieldSpec(
+    "pallas_fp",
+    0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001,
+)
+
+VESTA_FP = FieldSpec(
+    "vesta_fp",
+    0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001,
+)
+
 REGISTRY = {
     spec.name: spec
     for spec in (
@@ -154,6 +167,8 @@ REGISTRY = {
         BLS12_381_FQ,
         BLS12_377_FR,
         BLS12_377_FQ,
+        PALLAS_FP,
+        VESTA_FP,
     )
 }
 

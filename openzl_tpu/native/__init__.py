@@ -114,6 +114,51 @@ def to_mont_limbs(spec: FieldSpec, values) -> Optional[np.ndarray]:
     return out.reshape((spec.n_limbs,) + arr.shape)
 
 
+def pack_limbs(spec: FieldSpec, values) -> Optional[np.ndarray]:
+    """Python ints -> CANONICAL planar limbs (no Montgomery transform)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    arr = np.asarray(values, dtype=object)
+    buf, stride = _as_bytes_le(spec, arr)
+    count = buf.shape[0]
+    out = np.empty((spec.n_limbs, count), dtype=np.uint32)
+    lib.ozl_pack_limbs16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        count,
+        stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        spec.n_limbs,
+    )
+    return out.reshape((spec.n_limbs,) + arr.shape)
+
+
+def unpack_limbs(spec: FieldSpec, limbs: np.ndarray) -> Optional[np.ndarray]:
+    """Canonical planar limbs -> object array of Python ints."""
+    lib = _lib()
+    if lib is None:
+        return None
+    limbs = np.ascontiguousarray(np.asarray(limbs), dtype=np.uint32)
+    batch_shape = limbs.shape[1:]
+    count = int(np.prod(batch_shape)) if batch_shape else 1
+    flat = limbs.reshape(spec.n_limbs, count)
+    stride = -(-spec.bits // 8)
+    out = np.empty((count, stride), dtype=np.uint8)
+    lib.ozl_unpack_limbs16(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        count,
+        spec.n_limbs,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        stride,
+    )
+    vals = np.empty(count, dtype=object)
+    for i in range(count):
+        vals[i] = int.from_bytes(out[i].tobytes(), "little")
+    if batch_shape == ():
+        return np.array(vals[0], dtype=object)
+    return vals.reshape(batch_shape)
+
+
 def from_mont_limbs(spec: FieldSpec, limbs: np.ndarray) -> Optional[np.ndarray]:
     """Montgomery planar limbs -> object array of canonical ints."""
     lib = _lib()

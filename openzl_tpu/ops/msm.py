@@ -34,6 +34,11 @@ from ..fields.spec import LIMB_BITS
 from .scan_utils import inclusive_scan, segmented_scan
 
 
+#: window-group size cap: group * n gathered elements per group step (about
+#: 48 u32 limbs each), so 2^21 keeps the per-step gather under ~400 MB
+_GROUP_ELEMS_CAP = 1 << 21
+
+
 def _default_window_bits(n: int, total_bits: int = 255) -> int:
     """Pick c minimizing modeled EC-add work over all windows.
 
@@ -61,8 +66,26 @@ def _digits(scalars: jnp.ndarray, window: int, c: int) -> jnp.ndarray:
     return (d & jnp.uint32((1 << c) - 1)).astype(jnp.int32)
 
 
+def _gather_sorted(curve: CurveSpec, pts: JPoint, order, normalized: bool):
+    """Points in sort order. When `normalized` (Z in {0,1} and every
+    infinity's digit forced to 0 — see `_msm_jit`), Z is not gathered at
+    all: digit-0 segments fold garbage that lands in the discarded bucket 0,
+    so a constant Z = 1 is sound and saves a third of the gather traffic
+    (the window-loop's dominant HBM cost at 2^18+)."""
+    F = jac.field_ops(curve)
+    if not normalized:
+        return JPoint(
+            F.take(pts.x, order), F.take(pts.y, order), F.take(pts.z, order)
+        )
+    xy = F.take(jnp.concatenate([pts.x, pts.y], axis=0), order)
+    n_val = pts.x.shape[0]
+    one = F.one(tuple(xy.shape[F.value_ndim:]))
+    return JPoint(xy[:n_val], xy[n_val:], one)
+
+
 def _segmented_bucket_sums(
-    curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int
+    curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int,
+    normalized: bool = False,
 ) -> JPoint:
     """Per-bucket EC sums for one window; returns buckets (batch = 2^c).
 
@@ -71,7 +94,7 @@ def _segmented_bucket_sums(
     F = jac.field_ops(curve)
     order = jnp.argsort(digits)
     sd = digits[order]
-    sp = JPoint(F.take(pts.x, order), F.take(pts.y, order), F.take(pts.z, order))
+    sp = _gather_sorted(curve, pts, order, normalized)
 
     # segment starts: first element or digit change
     prev = jnp.concatenate([jnp.full((1,), -1, sd.dtype), sd[:-1]])
@@ -105,7 +128,8 @@ def _segmented_bucket_sums(
 
 
 def _bucket_totals_fast(
-    curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int
+    curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int,
+    normalized: bool = False,
 ) -> JPoint:
     """Segment-TOTAL bucket accumulation: ~n mixed adds per window.
 
@@ -124,68 +148,108 @@ def _bucket_totals_fast(
     Requires pts normalized (`jacobian.normalize`).
     """
     F = jac.field_ops(curve)
-    n = digits.shape[0]
-    order = jnp.argsort(digits)
-    sd = digits[order]
-    sp = JPoint(F.take(pts.x, order), F.take(pts.y, order), F.take(pts.z, order))
+    g = digits.shape[:-1]  # leading window-GROUP axes (() or (G,)): every op
+    # below is batched over them, so one kernel launch serves G windows
+    n = digits.shape[-1]
+    idx_bits = max(1, (n - 1).bit_length())
+    if c + idx_bits <= 32:
+        # pack (digit, index) into ONE u32 and sort a single array: argsort
+        # sorts a (key, iota) PAIR, i.e. twice the traffic of this
+        packed = (digits.astype(jnp.uint32) << jnp.uint32(idx_bits)) | (
+            jnp.arange(n, dtype=jnp.uint32)
+        )
+        ps = jnp.sort(packed, axis=-1)
+        order = (ps & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        sd = (ps >> jnp.uint32(idx_bits)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(digits, axis=-1)
+        sd = jnp.take_along_axis(digits, order, axis=-1)
 
-    prev = jnp.concatenate([jnp.full((1,), -1, sd.dtype), sd[:-1]])
-    starts = sd != prev
-    nxt = jnp.concatenate([sd[1:], jnp.full((1,), -1, sd.dtype)])
-    tails = sd != nxt
+    fullm1 = jnp.full(g + (1,), -1, sd.dtype)
+    starts = sd != jnp.concatenate([fullm1, sd[..., :-1]], axis=-1)
+    tails = sd != jnp.concatenate([sd[..., 1:], fullm1], axis=-1)
 
     r = 32
     while r > 1 and (n % r or n // r < 8):
         r //= 2
     if r < 4:
-        return _segmented_bucket_sums(curve, pts, digits, c)
+        assert not g, "grouped path requires n >= 32 (caller guards)"
+        return _segmented_bucket_sums(curve, pts, digits, c, normalized)
     l = n // r
     dump = 1 << c
     width = dump + 1
 
-    # element l*r + j <-> (chunk l, column j)
-    def rs(v):
-        return v.reshape(v.shape[:-1] + (l, r))
+    # element chunk*r + j <-> (chunk, column j), stored COLUMN-major
+    # (..., r, l): the fold slices one column per step, and column-major
+    # keeps those slices contiguous (chunk-major slicing is stride-r — every
+    # 4-byte element pulls a full HBM burst). The points are gathered
+    # directly into this layout by permuting the (tiny) index array.
+    def rt(v):
+        return jnp.moveaxis(v.reshape(v.shape[:-1] + (l, r)), -1, -2)
 
-    cps = JPoint(rs(sp.x), rs(sp.y), rs(sp.z))
-    sd2, st2, tl2 = sd.reshape(l, r), starts.reshape(l, r), tails.reshape(l, r)
-    chunk_ids = jnp.arange(l, dtype=jnp.int32)
+    sp = _gather_sorted(curve, pts, rt(order), normalized)
+    cps = sp  # (..., r, l) already
+    st2 = rt(starts)
 
-    acc0 = tuple(jac.identity(curve, (l,)))
-    bv0 = tuple(jac.identity(curve, (width,)))
-    carry0 = (
-        acc0,
-        jnp.zeros((l,), bool),  # segment started within this chunk?
-        bv0,
-        jnp.ones((width,), bool),  # tail-local value complete?
-        jnp.zeros((width,), jnp.int32),  # tail's chunk index
+    gi = jnp.arange(g[0])[:, None] if g else None  # (G, 1) batch index
+
+    def scatter_last(dst, idx, src):
+        """Per-group scatter along the last axis: dst (..., *g, W),
+        idx (*g, k), src (..., *g, k)."""
+        if gi is None:
+            return dst.at[..., idx].set(src)
+        return dst.at[..., gi, idx].set(src)
+
+    def gather_last(v, idx):
+        if gi is None:
+            return v[..., idx]
+        return v[..., gi, idx]
+
+    # Bucket -> (chunk, column) tail coordinates, computed STATICALLY from
+    # the sorted digits with three int32/bool scatters (4 bytes/element).
+    # The fold then only has to RECORD its column prefixes (in-place
+    # dynamic_update_slice, pure sequential writes); the old design
+    # scattered the full-width accumulator into the bucket array at every
+    # column — an O(point-size * n) random read-modify-write per window that
+    # dominated the 2^20 wall-clock.
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), g + (n,))
+    slot_tail = jnp.where(tails & (sd > 0), sd, dump)
+    slot_start = jnp.where(starts & (sd > 0), sd, dump)
+    tail_pos = scatter_last(jnp.zeros(g + (width,), jnp.int32), slot_tail, pos)
+    start_pos = scatter_last(jnp.zeros(g + (width,), jnp.int32), slot_start, pos)
+    occ = scatter_last(
+        jnp.zeros(g + (width,), bool), slot_tail, jnp.ones(g + (n,), bool)
     )
+    chunk_b = tail_pos // r
+    col_b = tail_pos % r
+    # tail value complete iff its segment started inside the same chunk;
+    # unoccupied buckets carry the identity (flag True keeps it in `lifted`)
+    bflag = (start_pos // r == chunk_b) | ~occ
+
+    acc0 = tuple(jac.identity(curve, g + (l,)))
+    buf0 = tuple(jnp.zeros(v.shape, jnp.uint32) for v in sp)
 
     def col(v, j):
         return lax.squeeze(
-            lax.dynamic_slice_in_dim(v, j, 1, axis=v.ndim - 1), (v.ndim - 1,)
+            lax.dynamic_slice_in_dim(v, j, 1, axis=v.ndim - 2), (v.ndim - 2,)
         )
 
     def body(j, carry):
-        acc, aflag, bv, bflag, bci = carry
+        acc, bufs = carry
         q = JPoint(col(cps.x, j), col(cps.y, j), col(cps.z, j))
-        s = lax.dynamic_index_in_dim(st2, j, axis=1, keepdims=False)
-        t = lax.dynamic_index_in_dim(tl2, j, axis=1, keepdims=False)
-        d = lax.dynamic_index_in_dim(sd2, j, axis=1, keepdims=False)
+        s = col(st2, j)
         summed = jac.madd(curve, JPoint(*acc), q)
         acc_p = jac.select(s, q, summed, F)
-        aflag = aflag | s
-        slot = jnp.where(t & (d > 0), d, dump)
-        bv = JPoint(
-            F.scatter_set(bv[0], slot, acc_p.x),
-            F.scatter_set(bv[1], slot, acc_p.y),
-            F.scatter_set(bv[2], slot, acc_p.z),
+        bufs = tuple(
+            lax.dynamic_update_slice_in_dim(
+                b, a[..., None, :], j, axis=b.ndim - 2
+            )
+            for b, a in zip(bufs, acc_p)
         )
-        bflag = bflag.at[slot].set(aflag)
-        bci = bci.at[slot].set(chunk_ids)
-        return (tuple(acc_p), aflag, tuple(bv), bflag, bci)
+        return (tuple(acc_p), bufs)
 
-    totals, tflag, bv, bflag, bci = lax.fori_loop(0, r, body, carry0)
+    totals, bufs = lax.fori_loop(0, r, body, (acc0, buf0))
+    tflag = st2.any(axis=-2)  # chunk contains a segment start
 
     # lifted segmented monoid over chunk totals -> exclusive offsets
     def lifted(a, b):
@@ -196,7 +260,7 @@ def _bucket_totals_fast(
         return (*tuple(out), fa | fb)
 
     def lifted_pad(k):
-        return (*tuple(jac.identity(curve, (k,))), jnp.zeros((k,), bool))
+        return (*tuple(jac.identity(curve, g + (k,))), jnp.zeros(g + (k,), bool))
 
     incl = inclusive_scan(lifted, (*totals, tflag), lifted_pad)
     idp = lifted_pad(1)
@@ -205,9 +269,17 @@ def _bucket_totals_fast(
         for i1, v in zip(idp, incl)
     )
 
-    # bucket-width offset apply: gather each tail's chunk offset, combine
-    off = tuple(v[..., bci] for v in excl)
-    total = lifted(off, (*bv, bflag))
+    # bucket-width extraction: tail prefix values from the fold buffers,
+    # chunk offsets from the lifted scan, one `lifted` combine applies them
+    def pick(bf):  # bf is column-major (..., r, l): index [col, chunk]
+        if gi is None:
+            return bf[..., col_b, chunk_b]
+        return bf[..., gi, col_b, chunk_b]
+
+    idw = jac.identity(curve, g + (width,))
+    bv = jac.select(occ, JPoint(*(pick(bf) for bf in bufs)), idw, F)
+    off = tuple(gather_last(v, chunk_b) for v in excl)
+    total = lifted(off, (*tuple(bv), bflag))
     buckets = JPoint(*total[:3])
     return JPoint(
         F.slice_batch(buckets.x, 0, dump),
@@ -227,12 +299,13 @@ def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
     """
     F = jac.field_ops(curve)
     width = 1 << c
+    lead = buckets.z.shape[F.value_ndim : -1]  # window-group batch axes
 
     def combine(a, b):
         return tuple(jac.add(curve, JPoint(*a), JPoint(*b)))
 
     def pad(k):
-        return tuple(jac.identity(curve, (k,)))
+        return tuple(jac.identity(curve, lead + (k,)))
 
     rev = JPoint(F.reverse(buckets.x), F.reverse(buckets.y), F.reverse(buckets.z))
     # running[j] = sum of buckets[2^c-1-j ..]. Summing the FIRST 2^c - 1
@@ -249,44 +322,61 @@ def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
 def _fixed_base_table(curve: CurveSpec, c: int, n_bits: int) -> JPoint:
     """Windowed table for fixed-base scalar mul: T[w, d] = d * 2^(c*w) * G.
 
-    Built once per (curve, c, n_bits) and cached on device, normalized so
-    evaluation runs on mixed adds. Layout: (windows, n_limbs[, 2], 2^c) with
-    the window axis LEADING for lax.scan consumption.
+    Built once per (curve, c, n_bits) and cached on device, normalized
+    (affine, Z in {0,1}) so evaluation runs on mixed adds. Layout:
+    (windows, n_limbs[, 2], 2^c) with the window axis LEADING for lax.scan
+    consumption.
+
+    The rows are computed on the HOST (~windows * 2^c affine adds of Python
+    bigints, a one-time few-second cost, disk-cached): the previous on-device
+    build instantiated the unrolled Pallas EC kernel at a dozen distinct scan
+    widths, costing minutes of Mosaic compile per curve — for a table whose
+    arithmetic is trivially cheap.
     """
-    F = jac.field_ops(curve)
+    import pathlib
+
+    from ..ref import curve as refc
+
     windows = -(-n_bits // c)
     width = 1 << c
-
-    # row 0: [0, G, 2G, ..., (2^c - 1) G] via a prefix-sum of G replicas
-    G = jac.generator(curve, (width - 1,))
-
-    def combine(a, b):
-        return tuple(jac.add(curve, JPoint(*a), JPoint(*b)))
-
-    def pad(k):
-        return tuple(jac.identity(curve, (k,)))
-
-    prefixes = JPoint(*inclusive_scan(combine, tuple(G), pad))
-    idp = jac.identity(curve, (1,))
-    row = JPoint(
-        F.concat([idp.x, prefixes.x]),
-        F.concat([idp.y, prefixes.y]),
-        F.concat([idp.z, prefixes.z]),
+    cache = pathlib.Path(
+        f"/tmp/ozl_fbtable_{curve.name}_{c}_{n_bits}.npz"
     )
-
-    rows = []
-    for w in range(windows):
-        rows.append(jac.normalize(curve, row))
-        if w + 1 < windows:
-            row = lax.fori_loop(
-                0, c, lambda _, p: tuple(jac.double(curve, JPoint(*p))), tuple(row)
+    if cache.exists():
+        try:
+            data = np.load(cache)
+            table = JPoint(
+                jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
             )
-            row = JPoint(*row)
-    table = JPoint(
-        jnp.stack([r.x for r in rows]),
-        jnp.stack([r.y for r in rows]),
-        jnp.stack([r.z for r in rows]),
-    )
+            jax.block_until_ready(table.x)
+            return table
+        except Exception:
+            pass  # corrupt/stale cache: rebuild
+
+    flat = []
+    base = refc.generator(curve)
+    for w in range(windows):
+        acc = None
+        flat.append(None)  # d = 0
+        for _ in range(1, width):
+            acc = refc.add(curve, acc, base)
+            flat.append(acc)
+        if w + 1 < windows:
+            for _ in range(c):
+                base = refc.add(curve, base, base)
+
+    pts = jac.from_affine_ints(curve, flat)  # (n[,2], windows*width), Z in {0,1}
+
+    def rows_first(v):
+        return jnp.moveaxis(v.reshape(v.shape[:-1] + (windows, width)), -2, 0)
+
+    table = JPoint(rows_first(pts.x), rows_first(pts.y), rows_first(pts.z))
+    try:
+        tmp = cache.with_suffix(".tmp.npz")
+        np.savez(tmp, x=np.asarray(table.x), y=np.asarray(table.y), z=np.asarray(table.z))
+        tmp.rename(cache)
+    except Exception:
+        pass
     table = jax.device_put(table)
     jax.block_until_ready(table.x)
     return table
@@ -394,17 +484,57 @@ def _msm_jit(
     # n_windows serial folds then run on the cheaper mixed add.
     points = jac.normalize(curve, points)
 
-    # All window digits up front; the per-window bucket pipeline then runs
-    # under lax.scan so it compiles once regardless of window count.
+    # All window digits up front. Infinities (from padding) get digit 0 in
+    # EVERY window: they land in the discarded bucket 0, which lets the
+    # bucket pipeline skip gathering Z.
     digits_all = jnp.stack([_digits(scalars, w, c) for w in range(n_windows)])
+    inf = jac.field_ops(curve).is_zero(points.z)
+    digits_all = jnp.where(inf[None], 0, digits_all)
 
-    def window_body(_, d):
-        buckets = _bucket_totals_fast(curve, points, d, c)
-        total = _weighted_bucket_total(curve, buckets, c)
-        return None, tuple(total)
+    # Windows run in GROUPS of G as a leading batch axis of the bucket
+    # pipeline: every sort/gather/fold/scan launch then serves G windows
+    # (the per-window pipeline is launch-overhead-bound — each Pallas EC
+    # call costs ~130 us to launch regardless of width). G is capped so the
+    # gathered per-group points stay a few hundred MB.
+    group = min(n_windows, max(1, _GROUP_ELEMS_CAP // n)) if n >= 256 else 1
+    w_pad = -(-n_windows // group) * group
+    if w_pad != n_windows:
+        # zero-digit pad windows: all points land in discarded bucket 0, so
+        # their window sums are the identity (harmless extra Horner steps)
+        digits_all = jnp.concatenate(
+            [digits_all, jnp.zeros((w_pad - n_windows, n), digits_all.dtype)]
+        )
 
-    _, sums = lax.scan(window_body, None, digits_all)
-    sums = JPoint(*sums)  # leading axis = window index
+    if group > 1:
+        dg = digits_all.reshape(w_pad // group, group, n)
+
+        def group_body(_, d):
+            buckets = _bucket_totals_fast(curve, points, d, c, normalized=True)
+            return None, tuple(buckets)
+
+        _, bstack = lax.scan(group_body, None, dg)
+        # leaves: (w/G, n_val..., G, 2^c) -> batch (w, 2^c), then ONE
+        # weighted-total pass over all windows at once
+        F = jac.field_ops(curve)
+
+        def flat(v):
+            v = jnp.moveaxis(v, 0, F.value_ndim)  # (n_val..., w/G, G, 2^c)
+            return v.reshape(
+                v.shape[: F.value_ndim] + (w_pad,) + v.shape[F.value_ndim + 2 :]
+            )
+
+        buckets = JPoint(flat(bstack[0]), flat(bstack[1]), flat(bstack[2]))
+        total = _weighted_bucket_total(curve, buckets, c)  # batch (w,)
+        sums = JPoint(*(jnp.moveaxis(v, -1, 0) for v in total))
+    else:
+
+        def window_body(_, d):
+            buckets = _bucket_totals_fast(curve, points, d, c, normalized=True)
+            total = _weighted_bucket_total(curve, buckets, c)
+            return None, tuple(total)
+
+        _, sums = lax.scan(window_body, None, digits_all)
+        sums = JPoint(*sums)  # leading axis = window index
 
     # Horner from the most significant window: acc = 2^c * acc + S_w
     # (doublings under fori_loop: one `double` instance in the graph)
@@ -416,6 +546,6 @@ def _msm_jit(
         return tuple(acc), None
 
     top = tuple(v[-1] for v in sums)
-    rest = tuple(v[: n_windows - 1][::-1] for v in sums)
+    rest = tuple(v[: w_pad - 1][::-1] for v in sums)
     acc, _ = lax.scan(horner_body, top, rest)
     return JPoint(*acc)

@@ -22,12 +22,14 @@ coset trick divides by the constant Z(g omega^j) = g^n - 1.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..curves import jacobian as jac
@@ -37,7 +39,7 @@ from ..eclair.r1cs import R1CS
 from ..fields import limb
 from ..fields.spec import FieldSpec
 from ..ops import ntt as nttmod
-from ..ops.msm import fixed_base_msm, msm
+from ..ops.msm import msm
 from ..ops.sparse import SparseFieldMatrix
 from ..ref import curve as refc
 from ..ref import pairing as refpair
@@ -214,27 +216,45 @@ def _fixed_base_host(curve, scalars: Sequence[int]):
     return [refc.scalar_mul(curve, k, G) for k in scalars]
 
 
-def _fixed_base_batch(curve, scalars: Sequence[int]) -> JPoint:
-    """[k_i * G] via the windowed fixed-base table (ops.msm.fixed_base_msm):
-    ~n_bits/8 mixed adds per scalar instead of double-and-add's ~2*n_bits
-    add/doubles — the setup query encodings are the compile-phase hot path.
-
-    Padded to the next power of two (min 8) so circuit sizes share compiled
-    kernels."""
-    n = len(scalars)
-    padded = max(8, 1 << (n - 1).bit_length())
-    ks = limb.pack(
-        curve.scalar, np.array(list(scalars) + [0] * (padded - n), dtype=object)
-    )
-    out = fixed_base_msm(curve, jnp.asarray(ks))
-    from ..curves.jacobian import field_ops
-
-    F = field_ops(curve)
-    return JPoint(*(F.slice_batch(v, 0, n) for v in out))
-
-
 def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
     return [lc.eval(assignment, p) for lc in rows]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _prove_msms(g1, g2, ni, z_limbs, h_canon, aq, b1q, b2q, hq, lq):
+    """All five proving MSMs in ONE dispatch (the axon tunnel costs ~35 ms
+    per dispatch; separate calls also force a readback fence each)."""
+    a = msm(g1, z_limbs, aq)
+    b1 = msm(g1, z_limbs, b1q)
+    b2 = msm(g2, z_limbs, b2q)
+    h = msm(g1, h_canon, hq)
+    wit = z_limbs[:, ni:]
+    l = msm(g1, wit, lq) if wit.shape[1] else None
+    # stack the G1 results so the affine conversion is one batched inversion
+    g1s = [a, b1, h] + ([l] if l is not None else [])
+    stacked = JPoint(*(jnp.stack([p[i] for p in g1s], axis=-1) for i in range(3)))
+    return stacked, b2
+
+
+_FB_WINDOW = 8
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _setup_queries(g1, g2, t1, t2, u, v, h, l):
+    """All five setup query encodings in one dispatch. Inputs are padded to
+    a COMMON length by the caller so the G1 eval compiles once; the windowed
+    tables ride as arguments (literal-inlined constants blow past the axon
+    remote-compile request size limit)."""
+    from ..ops.msm import _fixed_base_eval
+
+    nb1, nb2 = g1.scalar.bits, g2.scalar.bits
+    return (
+        _fixed_base_eval(g1, u, t1, _FB_WINDOW, nb1),
+        _fixed_base_eval(g1, v, t1, _FB_WINDOW, nb1),
+        _fixed_base_eval(g2, v, t2, _FB_WINDOW, nb2),
+        _fixed_base_eval(g1, h, t1, _FB_WINDOW, nb1),
+        _fixed_base_eval(g1, l, t1, _FB_WINDOW, nb1),
+    )
 
 
 class _Prof:
@@ -366,19 +386,52 @@ class Groth16:
         prof.lap("host_scalars")
 
         # group encodings — batched fixed-base scalar mul (device or host)
-        fixed = _fixed_base_host if host else _fixed_base_batch
-        a_query = fixed(g1, u)
-        b_g1_query = fixed(g1, v)
-        b_g2_query = fixed(g2, v)
-        h_query = fixed(g1, h_scalars)
-        l_query = fixed(g1, l_scalars)
-        prof.lap("fixed_base_queries")
         if host:
-            gabc_pts = [
-                refc.scalar_mul(g1, k, refc.generator(g1)) for k in gamma_abc
-            ]
+            a_query = _fixed_base_host(g1, u)
+            b_g1_query = _fixed_base_host(g1, v)
+            b_g2_query = _fixed_base_host(g2, v)
+            h_query = _fixed_base_host(g1, h_scalars)
+            l_query = _fixed_base_host(g1, l_scalars)
         else:
-            gabc_pts = jac.to_affine_ints(g1, _fixed_base_batch(g1, gamma_abc))
+            # pad every scalar list to ONE common power of two: the G1 eval
+            # kernel compiles once, and all five evals ship in one dispatch
+            from ..ops.msm import _fixed_base_table
+
+            sizes = [len(u), len(v), len(h_scalars), len(l_scalars)]
+            padded = max(8, 1 << (max(sizes) - 1).bit_length())
+
+            def pk_scalars(vals):
+                return jnp.asarray(
+                    limb.pack(
+                        self.fr,
+                        np.array(
+                            list(vals) + [0] * (padded - len(vals)), dtype=object
+                        ),
+                    )
+                )
+
+            t1 = _fixed_base_table(g1, _FB_WINDOW, g1.scalar.bits)
+            t2 = _fixed_base_table(g2, _FB_WINDOW, g2.scalar.bits)
+            qa, qb1, qb2, qh, ql = _setup_queries(
+                g1, g2, t1, t2,
+                pk_scalars(u), pk_scalars(v), pk_scalars(h_scalars),
+                pk_scalars(l_scalars),
+            )
+            F1 = jac.field_ops(g1)
+            F2 = jac.field_ops(g2)
+
+            def trim(F, q, k):
+                return JPoint(*(F.slice_batch(vv, 0, k) for vv in q))
+
+            a_query = trim(F1, qa, len(u))
+            b_g1_query = trim(F1, qb1, len(v))
+            b_g2_query = trim(F2, qb2, len(v))
+            h_query = trim(F1, qh, len(h_scalars))
+            l_query = trim(F1, ql, len(l_scalars))
+        prof.lap("fixed_base_queries")
+        # gamma_abc is instance-count sized (tiny): host oracle avoids a
+        # device eval compile at an otherwise-unused padded shape
+        gabc_pts = _fixed_base_host(g1, gamma_abc)
 
         G1, G2 = refc.generator(g1), refc.generator(g2)
         vk = VerifyingKey(
@@ -474,16 +527,15 @@ class Groth16:
             l_msm = refc.msm(g1, z[ni:], pk.l_query) if z[ni:] else None
         else:
             z_limbs = jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
-            wit_limbs = z_limbs[:, ni:]
-            a_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.a_query))
-            b1_msm = jac.to_affine_ints(g1, msm(g1, z_limbs, pk.b_g1_query))
-            b2_msm = jac.to_affine_ints(g2, msm(g2, z_limbs, pk.b_g2_query))
-            h_msm = jac.to_affine_ints(g1, msm(g1, h_canon, pk.h_query))
-            l_msm = (
-                jac.to_affine_ints(g1, msm(g1, wit_limbs, pk.l_query))
-                if wit_limbs.shape[1]
-                else None
+            stacked, b2_j = _prove_msms(
+                g1, g2, ni, z_limbs, h_canon,
+                pk.a_query, pk.b_g1_query, pk.b_g2_query, pk.h_query,
+                pk.l_query,
             )
+            g1_pts = jac.to_affine_ints(g1, stacked)  # one batched inversion
+            b2_msm = jac.to_affine_ints(g2, b2_j)
+            a_msm, b1_msm, h_msm = g1_pts[0], g1_pts[1], g1_pts[2]
+            l_msm = g1_pts[3] if len(g1_pts) > 3 else None
         prof.lap("msms")
 
         G1a = refc.generator(g1)

@@ -103,6 +103,24 @@ def test_fixed_base_msm_vs_oracle(curve):
     assert got == [ref.scalar_mul(curve, k, G) for k in ks]
 
 
+def test_msm_grouped_window_padding(curve, monkeypatch):
+    """Force a group size that does NOT divide the window count so the
+    zero-digit pad windows (and their identity Horner steps) are exercised."""
+    from openzl_tpu.ops import msm as msmmod
+
+    monkeypatch.setattr(msmmod, "_GROUP_ELEMS_CAP", 512)
+    n = 256  # group = 512 // 256 = 2; windows = ceil(15/4) = 4 -> no pad;
+    # use n_bits=15, c=4 -> 4 windows, group 2 divides; instead c=5 -> 3
+    # windows, group 2 -> w_pad = 4 != 3
+    pts = _points(curve, n - 1) + [None]
+    ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
+    want = ref.msm(curve, ks, pts)
+    P = jac.from_affine_ints(curve, pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    got = jac.to_affine_ints(curve, msm(curve, scal, P, 5, 15))
+    assert got == want
+
+
 def test_msm_many_duplicate_digits(curve):
     """Every point shares one bucket -> single long segment spanning chunks."""
     n = 64

@@ -3,7 +3,7 @@ constraints, setup/prove/verify wall-clock on the real TPU.
 
 Circuit: h_{i+1} = Poseidon(h_i, w_i) over `chain` links; public input is
 the final digest (preimage-knowledge of the whole chain). Emits one JSON
-line per phase and appends to SCALE_r02.json if present.
+line per phase and appends to SCALE_r03.json if present.
 
 Run: python tools/bench_groth16.py [--chain 64]
 """
@@ -107,7 +107,7 @@ def main():
     assert not bad, "fuzzed input accepted"
     print("verify OK, fuzzed input rejected", flush=True)
 
-    out = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
+    out = pathlib.Path(__file__).parent.parent / "SCALE_r03.json"
     prior = json.loads(out.read_text()) if out.exists() else []
     seen = {r["metric"] for r in results}
     merged = [r for r in prior if r["metric"] not in seen] + results

@@ -1,6 +1,6 @@
 """Scale evidence on real TPU: NTT 2^18-2^22, MSM 2^16-2^20, Merkle depth-20.
 
-Emits one JSON line per metric (appended to SCALE_r02.json-style records) and
+Emits one JSON line per metric (appended to SCALE_r03.json-style records) and
 prints human-readable progress. Run serially (one JAX process):
     python tools/bench_scale.py [--quick]
 
@@ -40,7 +40,7 @@ from openzl_tpu.ref import curve as refc
 RESULTS = []
 
 
-OUT = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
+OUT = pathlib.Path(__file__).parent.parent / "SCALE_r03.json"
 
 
 def record(metric, value, unit, extra=None):
@@ -199,7 +199,7 @@ def main():
         except Exception as e:  # tree API may differ; report, don't die
             print("merkle bench failed:", e, flush=True)
 
-    out = pathlib.Path(__file__).parent.parent / "SCALE_r02.json"
+    out = pathlib.Path(__file__).parent.parent / "SCALE_r03.json"
     prior = json.loads(out.read_text()) if out.exists() else []
     seen = {r["metric"] for r in RESULTS}
     merged = [r for r in prior if r["metric"] not in seen] + RESULTS
