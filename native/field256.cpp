@@ -17,107 +17,12 @@
 //     16 bits per limb, little-endian limb order
 //   * Montgomery radix R = 2^(16 * n16)
 
-#include <cstdint>
-#include <cstring>
+#include "mont_core.h"
 
-using u32 = uint32_t;
-using u64 = uint64_t;
-using u128 = unsigned __int128;
+using namespace ozl;
 
 namespace {
 
-constexpr int MAXL = 6;  // 64-bit limbs: up to 384-bit fields
-
-struct Ctx {
-  u64 mod[MAXL];
-  u64 r2[MAXL];    // R^2 mod p, R = 2^(64*n64)... see note below
-  u64 n0inv;       // -p^{-1} mod 2^64
-  int n64;
-  int n16;
-};
-
-// NOTE on radices: python-side R_py = 2^(16*n16). For n16 = 16 (254-bit
-// fields) that is 2^256 = 2^(64*4) = R here; for n16 = 24 (BLS12-381 Fq,
-// 381-bit) R_py = 2^384 = 2^(64*6). The caller passes n64 = ceil(n16/4)
-// and an r2 computed for R = 2^(64*n64), so the two radices agree.
-
-inline void add_nc(const u64* a, const u64* b, u64* out, int n) {
-  u128 carry = 0;
-  for (int i = 0; i < n; ++i) {
-    u128 t = (u128)a[i] + b[i] + carry;
-    out[i] = (u64)t;
-    carry = t >> 64;
-  }
-}
-
-inline bool sub_borrow(const u64* a, const u64* b, u64* out, int n) {
-  u128 borrow = 0;
-  for (int i = 0; i < n; ++i) {
-    u128 t = (u128)a[i] - b[i] - borrow;
-    out[i] = (u64)t;
-    borrow = (t >> 64) & 1;
-  }
-  return borrow != 0;
-}
-
-inline bool geq(const u64* a, const u64* b, int n) {
-  for (int i = n - 1; i >= 0; --i) {
-    if (a[i] != b[i]) return a[i] > b[i];
-  }
-  return true;
-}
-
-inline void cond_sub_mod(u64* a, const Ctx& c) {
-  if (geq(a, c.mod, c.n64)) {
-    u64 t[MAXL];
-    sub_borrow(a, c.mod, t, c.n64);
-    std::memcpy(a, t, sizeof(u64) * c.n64);
-  }
-}
-
-// CIOS Montgomery multiply: out = a*b*R^{-1} mod p
-void mont_mul(const Ctx& c, const u64* a, const u64* b, u64* out) {
-  const int n = c.n64;
-  u64 t[MAXL + 2] = {0};
-  for (int i = 0; i < n; ++i) {
-    u128 carry = 0;
-    for (int j = 0; j < n; ++j) {
-      u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
-      t[j] = (u64)cur;
-      carry = cur >> 64;
-    }
-    u128 cur = (u128)t[n] + carry;
-    t[n] = (u64)cur;
-    t[n + 1] = (u64)(cur >> 64);
-
-    u64 m = t[0] * c.n0inv;
-    carry = ((u128)t[0] + (u128)m * c.mod[0]) >> 64;
-    for (int j = 1; j < n; ++j) {
-      u128 cur2 = (u128)t[j] + (u128)m * c.mod[j] + carry;
-      t[j - 1] = (u64)cur2;
-      carry = cur2 >> 64;
-    }
-    u128 cur3 = (u128)t[n] + carry;
-    t[n - 1] = (u64)cur3;
-    t[n] = t[n + 1] + (u64)(cur3 >> 64);
-    t[n + 1] = 0;
-  }
-  std::memcpy(out, t, sizeof(u64) * n);
-  cond_sub_mod(out, c);
-}
-
-inline void bytes_to_u64(const uint8_t* in, int stride, u64* out, int n64) {
-  std::memset(out, 0, sizeof(u64) * n64);
-  std::memcpy(out, in, stride < n64 * 8 ? stride : n64 * 8);
-}
-
-inline void u64_to_bytes(const u64* in, int n64, uint8_t* out, int stride) {
-  std::memset(out, 0, stride);
-  int nb = n64 * 8 < stride ? n64 * 8 : stride;
-  std::memcpy(out, in, nb);
-}
-
-// planar limb16 store: out[(l, idx)] with leading limb axis
 inline void store_limb16(const u64* v, int n64, u32* out, int64_t idx,
                          int64_t count, int n16) {
   for (int l = 0; l < n16; ++l) {

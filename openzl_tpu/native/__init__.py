@@ -46,6 +46,16 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.ozl_unpack_limbs16.argtypes = [
         u32p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_int,
     ]
+    lib.ozl_pairing_product_is_one.argtypes = [
+        u8p, u8p, ctypes.c_uint64, ctypes.c_int,  # mod, r2, n0inv, n64
+        ctypes.c_int, u8p, ctypes.c_int,  # beta_abs, xi, twist_d
+        u8p, ctypes.c_int, ctypes.c_int,  # ate bytes/len/negative
+        u8p, ctypes.c_int,  # inv_exp (p-2)
+        u8p, ctypes.c_int,  # hard_exp ((p^4-p^2+1)/r)
+        u8p,  # gamma_w (Fq)
+        u8p, ctypes.c_int,  # pairs, n_pairs
+    ]
+    lib.ozl_pairing_product_is_one.restype = ctypes.c_int
     return lib
 
 
@@ -187,3 +197,105 @@ def from_mont_limbs(spec: FieldSpec, limbs: np.ndarray) -> Optional[np.ndarray]:
     if batch_shape == ():
         return np.array(vals[0], dtype=object)
     return vals.reshape(batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# native pairing (native/pairing.cpp)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pairing_consts(spec):
+    """Precompute the curve-independent marshalling constants for a
+    PairingSpec: Montgomery parameters, exponent byte strings, and the
+    p^2-Frobenius scalar gamma_w = xi^((p^2-1)/6) (must land in Fq)."""
+    from ..ref import fields as tf
+
+    p = spec.p
+    r = spec.r
+    n64 = -(-p.bit_length() // 64)
+    stride = n64 * 8
+    R = 1 << (64 * n64)
+    r2 = (R * R) % p
+    n0inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    beta_abs = -spec.beta
+    assert beta_abs >= 1
+    hard_num = p**4 - p**2 + 1
+    if hard_num % r:
+        return None  # not a BLS/BN-style embedding-degree-12 family
+    hard = hard_num // r
+    e = (p * p - 1) // 6
+    if (p * p - 1) % 6:
+        return None
+    acc, base = (1, 0), spec.xi
+    while e:
+        if e & 1:
+            acc = tf.f2_mul(p, acc, base, spec.beta)
+        base = tf.f2_mul(p, base, base, spec.beta)
+        e >>= 1
+    if acc[1] != 0:
+        return None  # gamma_w not in Fq: tower shape unsupported natively
+
+    def le(x, nbytes=None):
+        nb = nbytes or stride
+        return int(x).to_bytes(nb, "little")
+
+    return {
+        "n64": n64,
+        "stride": stride,
+        "mod": le(p),
+        "r2": le(r2),
+        "n0inv": n0inv,
+        "beta_abs": beta_abs,
+        "xi": le(spec.xi[0]) + le(spec.xi[1]),
+        "twist_d": 1 if spec.twist_type == "D" else 0,
+        "ate": le(spec.ate_loop, -(-spec.ate_loop.bit_length() // 8)),
+        "ate_neg": 1 if spec.ate_negative else 0,
+        "inv_exp": le(p - 2),
+        "hard": le(hard, -(-hard.bit_length() // 8)),
+        "gw": le(acc[0]),
+    }
+
+
+def pairing_product_is_one(spec, pairs):
+    """Native prod e(P_i, Q_i) == 1 check; None if unavailable.
+
+    pairs: [(P, Q)] with P = (x, y) ints, Q = ((x0,x1), (y0,y1));
+    infinite pairs must already be filtered out by the caller.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    consts = _pairing_consts(spec)
+    if consts is None:
+        return None
+    if not pairs:
+        return True
+    stride = consts["stride"]
+
+    def le(x):
+        return int(x).to_bytes(stride, "little")
+
+    buf = bytearray()
+    for P, Q in pairs:
+        (px, py), (qx, qy) = P, Q
+        buf += le(px) + le(py)
+        buf += le(qx[0]) + le(qx[1]) + le(qy[0]) + le(qy[1])
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def bp(b):
+        return ctypes.cast(ctypes.create_string_buffer(bytes(b), len(b)), u8p)
+
+    rc = lib.ozl_pairing_product_is_one(
+        bp(consts["mod"]), bp(consts["r2"]),
+        ctypes.c_uint64(consts["n0inv"]), consts["n64"],
+        consts["beta_abs"], bp(consts["xi"]), consts["twist_d"],
+        bp(consts["ate"]), len(consts["ate"]), consts["ate_neg"],
+        bp(consts["inv_exp"]), len(consts["inv_exp"]),
+        bp(consts["hard"]), len(consts["hard"]),
+        bp(consts["gw"]),
+        bp(buf), len(pairs),
+    )
+    if rc < 0:
+        return None
+    return bool(rc)

@@ -222,11 +222,23 @@ def pairing(spec: PairingSpec, P, Q) -> Fp12:
 
 
 def pairing_product_is_one(spec: PairingSpec, pairs) -> bool:
-    """prod e(P_i, Q_i) == 1 — the Groth16 verification shape."""
+    """prod e(P_i, Q_i) == 1 — the Groth16 verification shape.
+
+    Routes through the native C++ engine (native/pairing.cpp: shared-lambda
+    affine Miller steps + staged final exponentiation, ~10x this module)
+    when the library is built; this pure-Python path is the oracle and
+    fallback."""
+    live = [(P, Q) for P, Q in pairs if P is not None and Q is not None]
+    try:
+        from .. import native
+
+        got = native.pairing_product_is_one(spec, live)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     p, xi, beta = spec.p, spec.xi, spec.beta
     acc = tf.f12_one()
-    for P, Q in pairs:
-        if P is None or Q is None:
-            continue
+    for P, Q in live:
         acc = tf.f12_mul(p, xi, acc, miller_loop(spec, P, Q), beta)
     return tf.f12_pow(p, xi, acc, spec.final_exp, beta) == tf.f12_one()
