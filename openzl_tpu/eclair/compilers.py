@@ -129,6 +129,10 @@ class NativeCompiler:
     def assert_within_bit_range(self, a, n_bits: int):
         assert 0 <= a < (1 << n_bits), f"{a} out of {n_bits}-bit range"
 
+    def divmod_hint(self, a, modulus: int):
+        """(a // modulus, a % modulus) — hint pair for gadgets.div_rem_mod_prime."""
+        return divmod(a, modulus)
+
 
 # ---------------------------------------------------------------------------
 # Batched JAX compiler (the TPU compute path)
@@ -275,6 +279,13 @@ class FpVar:
     value: Optional[int]  # None in setup mode
 
 
+def _key(v: "FpVar") -> int:
+    """Variable key of a freshly allocated (single-term, coeff-1) FpVar."""
+    ((k, c),) = v.lc.terms.items()
+    assert c == 1
+    return k
+
+
 class R1CSCompiler:
     """Records constraints; in prove mode also computes the full assignment."""
 
@@ -363,6 +374,7 @@ class R1CSCompiler:
             return self.mul_const(a, cb)
         out = self._new_derived(None if self.is_setup else a.value * b.value)
         self.cs.enforce(a.lc, b.lc, out.lc)
+        self.cs.hints.append(("mul", a.lc, b.lc, _key(out)))
         return out
 
     def square(self, a: FpVar) -> FpVar:
@@ -373,6 +385,7 @@ class R1CSCompiler:
             None if self.is_setup else pow(a.value, -1, self.p)
         )
         self.cs.enforce(a.lc, out.lc, LinComb.constant(1))
+        self.cs.hints.append(("inv", a.lc, _key(out)))
         return out
 
     def pow5(self, a: FpVar) -> FpVar:
@@ -434,6 +447,7 @@ class R1CSCompiler:
         # a * inv = 1 - z   and   a * z = 0
         self.cs.enforce(a.lc, inv.lc, LinComb.constant(1).sub(z.lc, self.p))
         self.cs.enforce(a.lc, z.lc, LinComb())
+        self.cs.hints.append(("iszero", a.lc, _key(z), _key(inv)))
         return z
 
     def is_eq(self, a: FpVar, b: FpVar) -> FpVar:
@@ -466,6 +480,7 @@ class R1CSCompiler:
             bits.append(bit)
         packed = self.from_bits_le(bits)
         self.assert_eq(packed, a)
+        self.cs.hints.append(("bits", a.lc, [_key(b) for b in bits]))
         return bits
 
     def from_bits_le(self, bits: Sequence[FpVar]) -> FpVar:
@@ -481,3 +496,15 @@ class R1CSCompiler:
         """Decompose and implicitly force high bits to zero by only
         allocating n_bits bits (reference constraint/mod.rs:128-145)."""
         self.to_bits_le(a, n_bits)
+
+    def divmod_hint(self, a: FpVar, modulus: int) -> Tuple[FpVar, FpVar]:
+        """Allocate (q, r) = divmod(a, modulus) as UNCONSTRAINED witnesses
+        with a replayable tape entry; callers enforce the Euclidean identity
+        (gadgets.div_rem_mod_prime, reference constraint/mod.rs:481-499)."""
+        if self.is_setup:
+            q, r = self._new_derived(None), self._new_derived(None)
+        else:
+            qv, rv = divmod(a.value, modulus)
+            q, r = self._new_derived(qv), self._new_derived(rv)
+        self.cs.hints.append(("divmod", a.lc, modulus, _key(q), _key(r)))
+        return q, r

@@ -5,6 +5,9 @@ Covers the reference pieces the round-1 build lacked:
     (reference eclair/src/bool.rs:150-186 `ConditionalSelect::select_from_table`)
   * UnsignedInteger / U8..U256 — range-enforced integer wrapper
     (reference eclair/src/num.rs:115-395)
+  * div_rem_mod_prime / rem_mod_prime — in-circuit Euclidean reduction by a
+    smaller prime modulus (reference plugins/arkworks/src/constraint/mod.rs:
+    432-499 `Rem<PrimeModulus<R>>` + `div_rem_mod_prime`)
 
 Every function takes `com` first and works identically under
 NativeCompiler, JaxCompiler and R1CSCompiler — one source of truth for
@@ -108,6 +111,47 @@ class UnsignedInteger:
 
     def assert_eq(self, com, other: "UnsignedInteger") -> None:
         com.assert_eq(self.var, other.var)
+
+
+def div_rem_mod_prime(com, x, modulus: int):
+    """In-circuit Euclidean reduction: returns (q, r) with x = q*modulus + r
+    and r < modulus enforced by constraints.
+
+    Mirrors the reference's `Rem<PrimeModulus<R>> for FpVar` + host helper
+    `div_rem_mod_prime` (plugins/arkworks/src/constraint/mod.rs:432-499),
+    used to reduce an outer-field element to an embedded-curve scalar. One
+    strengthening over the reference: the quotient is range-bounded too (the
+    reference leaves q unconstrained beyond the Euclidean identity). As in
+    the reference, a malicious prover retains one degree of slack — q*M + r
+    can wrap the outer modulus once, yielding r = (x + p) mod M; callers
+    needing exact canonical reduction must bound x themselves.
+
+    Works under NativeCompiler (ints) and R1CSCompiler (FpVar; in setup mode
+    the hint witnesses are unvalued). Not supported under JaxCompiler —
+    bigint division has no batched limb form (and the reference gadget is
+    likewise R1CS-only).
+    """
+    p = com.p
+    assert 1 < modulus < p, "modulus must be a smaller prime than the field"
+    q, r = com.divmod_hint(x, modulus)
+    # Euclidean identity: x == q * modulus + r
+    com.assert_eq(x, com.add(com.mul_const(q, modulus), r))
+    m_bits = modulus.bit_length()
+    assert m_bits + 1 < p.bit_length(), "modulus too close to the field width"
+    # r < modulus: r and (modulus-1) - r both fit in m_bits bits. The second
+    # check cannot wrap undetected: a negative difference lands in
+    # (p - 2^m_bits, p), far above 2^m_bits since p > 2^(m_bits+1).
+    com.assert_within_bit_range(r, m_bits)
+    com.assert_within_bit_range(
+        com.add_const(com.neg(r), modulus - 1), m_bits
+    )
+    com.assert_within_bit_range(q, p.bit_length() - m_bits + 1)
+    return q, r
+
+
+def rem_mod_prime(com, x, modulus: int):
+    """`x mod modulus` in-circuit (the reference's `Rem` op surface)."""
+    return div_rem_mod_prime(com, x, modulus)[1]
 
 
 def _alias(n_bits: int):

@@ -95,6 +95,16 @@ class R1CS:
         self.instance_values: List[int] = []
         self.witness_values: List[int] = []
         self.constraints: List[Tuple[LinComb, LinComb, LinComb]] = []
+        # Hint tape: how each DERIVED witness is computed from earlier
+        # columns — ("mul", lcA, lcB, key) / ("inv", lcA, key) /
+        # ("iszero", lcA, z_key, inv_key) / ("bits", lcA, [keys]) /
+        # ("divmod", lcA, modulus, q_key, r_key). Witness keys absent from
+        # the tape are LEAF witnesses (user-provided). The tape lets a
+        # WitnessCalculator re-derive the full assignment from leaf values
+        # alone — the framework's analogue of re-running arkworks circuit
+        # synthesis (reference groth16.rs:446-457), but replayable in
+        # native code without re-tracing Python gadgets.
+        self.hints: List[Tuple] = []
 
     # ------------------------------------------------------------------
     # allocation (reference alloc modes: eclair/src/alloc.rs:430-485)

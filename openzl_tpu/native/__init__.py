@@ -56,6 +56,18 @@ def _lib() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_int,  # pairs, n_pairs
     ]
     lib.ozl_pairing_product_is_one.restype = ctypes.c_int
+    lib.ozl_witness_eval.argtypes = [
+        u8p, u8p, ctypes.c_uint64, ctypes.c_int,  # mod, r2, n0inv, n64
+        u8p, ctypes.c_int,  # inv_exp (p-2)
+        ctypes.c_int64,  # n_vars
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # preset cols
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # ops
+        ctypes.POINTER(ctypes.c_int32),  # lc_cols
+        u8p,  # lc_coeffs (Montgomery)
+        u8p,  # moduli (canonical)
+        u8p,  # z in/out
+    ]
+    lib.ozl_witness_eval.restype = ctypes.c_int
     return lib
 
 
@@ -299,3 +311,105 @@ def pairing_product_is_one(spec, pairs):
     if rc < 0:
         return None
     return bool(rc)
+
+
+# ---------------------------------------------------------------------------
+# witness-tape evaluation (native/witness.cpp)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _prime_consts(p: int):
+    """(mod_bytes, r2_bytes, n0inv, n64, inv_exp_bytes) for a prime p."""
+    n64 = -(-p.bit_length() // 64)
+    stride = n64 * 8
+    r2 = pow(1 << (64 * n64), 2, p)
+    n0inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    return (
+        p.to_bytes(stride, "little"),
+        r2.to_bytes(stride, "little"),
+        n0inv,
+        n64,
+        (p - 2).to_bytes(stride, "little"),
+    )
+
+
+def pack_witness_tape(p: int, ops, lc_cols, lc_coeffs, moduli):
+    """One-time flattening of a hint tape into C-ready buffers (see
+    eclair/witness.py); returns an opaque dict or None when the native
+    library is unavailable."""
+    if _lib() is None:
+        return None
+    mod_b, r2_b, n0inv, n64, inv_exp = _prime_consts(p)
+    stride = n64 * 8
+    shift = 64 * n64
+
+    # Montgomery-form coefficient pool; small coeffs repeat heavily (1, -1,
+    # powers of two), so memoize the bigint transform per distinct value.
+    cache = {}
+
+    def mont_bytes(cval: int) -> bytes:
+        b = cache.get(cval)
+        if b is None:
+            b = ((cval << shift) % p).to_bytes(stride, "little")
+            cache[cval] = b
+        return b
+
+    return {
+        "p": p,
+        "n64": n64,
+        "stride": stride,
+        "mod_b": mod_b,
+        "r2_b": r2_b,
+        "n0inv": n0inv,
+        "inv_exp": inv_exp,
+        "coeff_buf": b"".join(mont_bytes(int(cv)) for cv in lc_coeffs),
+        "mod_buf": b"".join(
+            int(m).to_bytes(stride, "little") for m in moduli
+        ),
+        "ops": np.ascontiguousarray(ops, dtype=np.int32),
+        "cols": np.ascontiguousarray(lc_cols, dtype=np.int32),
+    }
+
+
+def witness_eval(packed, n_vars: int, preset_cols: np.ndarray, preset_vals):
+    """Replay a packed hint tape; returns the full canonical assignment as
+    raw LE bytes (n_vars x packed['stride'])."""
+    lib = _lib()
+    assert lib is not None and packed is not None
+    stride = packed["stride"]
+
+    z = bytearray(n_vars * stride)
+    pc = np.ascontiguousarray(preset_cols, dtype=np.int32)
+    for col, v in zip(pc, preset_vals):
+        z[int(col) * stride : (int(col) + 1) * stride] = int(v).to_bytes(
+            stride, "little"
+        )
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def bp(b):
+        # zero-copy view of an immutable bytes object (C side only reads;
+        # the object is kept alive by `packed` / this frame for the call)
+        return ctypes.cast(ctypes.c_char_p(b or b"\0"), u8p)
+
+    ops_arr, cols_arr = packed["ops"], packed["cols"]
+    zbuf = (ctypes.c_uint8 * len(z)).from_buffer(z)
+    rc = lib.ozl_witness_eval(
+        bp(packed["mod_b"]), bp(packed["r2_b"]),
+        ctypes.c_uint64(packed["n0inv"]), packed["n64"],
+        bp(packed["inv_exp"]), len(packed["inv_exp"]),
+        ctypes.c_int64(n_vars),
+        pc.ctypes.data_as(i32p), ctypes.c_int64(len(pc)),
+        ops_arr.ctypes.data_as(i32p), ctypes.c_int64(ops_arr.shape[0]),
+        cols_arr.ctypes.data_as(i32p),
+        bp(packed["coeff_buf"]),
+        bp(packed["mod_buf"]),
+        ctypes.cast(zbuf, u8p),
+    )
+    if rc == 2:
+        raise ZeroDivisionError("witness tape: inverse of zero")
+    if rc != 0:
+        raise RuntimeError(f"native witness evaluation failed (rc={rc})")
+    return bytes(z)

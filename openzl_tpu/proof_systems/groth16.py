@@ -186,17 +186,35 @@ def _domain_log2(n_rows: int) -> int:
 
 
 def _lagrange_at(spec: FieldSpec, log_n: int, tau: int) -> List[int]:
-    """ell_j(tau) for the radix-2 domain H: (tau^n - 1) * w^j / (n (tau - w^j))."""
+    """ell_j(tau) for the radix-2 domain H: (tau^n - 1) * w^j / (n (tau - w^j)).
+
+    The n denominators are batch-inverted (Montgomery's trick): one modular
+    inversion + 3n multiplications instead of n inversions.
+    """
     p = spec.modulus
     n = 1 << log_n
     w = nttmod.group_gen(spec, log_n)
     z = (pow(tau, n, p) - 1) % p
     n_inv = pow(n, -1, p)
-    out = []
+
+    ws = [1] * n  # w^j
+    dens = [0] * n  # tau - w^j
     wj = 1
-    for _ in range(n):
-        out.append(z * wj % p * pow((tau - wj) % p, -1, p) % p * n_inv % p)
+    for j in range(n):
+        ws[j] = wj
+        dens[j] = (tau - wj) % p
         wj = wj * w % p
+
+    # batch inversion: prefix products, invert the total, unroll backwards
+    prefix = [1] * (n + 1)
+    for j in range(n):
+        prefix[j + 1] = prefix[j] * dens[j] % p
+    inv_all = pow(prefix[n], -1, p)
+    out = [0] * n
+    for j in range(n - 1, -1, -1):
+        inv_j = inv_all * prefix[j] % p
+        inv_all = inv_all * dens[j] % p
+        out[j] = z * ws[j] % p * inv_j % p * n_inv % p
     return out
 
 
@@ -460,6 +478,18 @@ class Groth16:
 
     # -- prove ---------------------------------------------------------------
 
+    def witness_calculator(self, cs: R1CS) -> "WitnessCalculator":
+        """Tape-replay witness generator for `cs` (native-accelerated).
+
+        Build the circuit ONCE (setup mode suffices), then per proof call
+        `calc.evaluate(instances, leaves)` and pass the result to
+        :meth:`prove_assigned` — no Python gadget re-trace (the reference
+        re-runs synthesis per proof, groth16.rs:446-457; here the tape
+        replays in native code)."""
+        from ..eclair.witness import WitnessCalculator
+
+        return WitnessCalculator(cs)
+
     def prove(
         self,
         pk: ProvingKey,
@@ -467,11 +497,35 @@ class Groth16:
         rng,
         prepared: Optional[PreparedCircuit] = None,
     ) -> Proof:
-        p = self.fr.modulus
-        g1, g2 = self.pairing.g1, self.pairing.g2
         prof = _Prof("prove")
         z = cs.assignment()
         prof.lap("assignment")
+        return self._prove_z(pk, z, rng, prepared, cs=cs, prof=prof)
+
+    def prove_assigned(
+        self,
+        pk: ProvingKey,
+        z: Sequence[int],
+        rng,
+        prepared: Optional[PreparedCircuit] = None,
+    ) -> Proof:
+        """Prove from a precomputed full assignment (WitnessCalculator
+        output). Requires device-resident matrices: pass `prepared` or use a
+        ProvingKey produced by the device backend (pk.prepared)."""
+        return self._prove_z(pk, list(z), rng, prepared, prof=_Prof("prove"))
+
+    def _prove_z(
+        self,
+        pk: ProvingKey,
+        z: List[int],
+        rng,
+        prepared: Optional[PreparedCircuit] = None,
+        cs: Optional[R1CS] = None,
+        prof: Optional[_Prof] = None,
+    ) -> Proof:
+        p = self.fr.modulus
+        g1, g2 = self.pairing.g1, self.pairing.g2
+        prof = prof or _Prof("prove")
         num_vars = len(z)
         ni = pk.num_instance_total
         log_n = pk.domain_log2
@@ -480,6 +534,10 @@ class Groth16:
 
         # H(x) evaluations: u/v/w = (A z, B z, C z) on the domain
         if pk.host:
+            assert cs is not None, (
+                "host-backend proving needs the circuit; use prove(pk, cs, "
+                "rng) or a device-backend ProvingKey with prove_assigned"
+            )
             rows_a, rows_b, rows_c = _qap_matrices(cs)
             ue = _row_dot(rows_a, z, p) + [0] * (n - len(rows_a))
             ve = _row_dot(rows_b, z, p) + [0] * (n - len(rows_b))
@@ -490,6 +548,10 @@ class Groth16:
         else:
             prepared = prepared or pk.prepared
             if prepared is None or prepared.num_vars != num_vars:
+                assert cs is not None, (
+                    "no prepared matrices for this assignment; pass "
+                    "`prepared` (Groth16.prepare) to prove_assigned"
+                )
                 prepared = self.prepare(cs)
             z_mont = jnp.asarray(limb.pack_mont(fr, np.array(z, dtype=object)))
             prof.lap("pack_witness")

@@ -18,7 +18,12 @@ from openzl_tpu.crypto.signature.schnorr import (
 )
 from openzl_tpu.curves import edwards as ed
 from openzl_tpu.eclair.compilers import NativeCompiler, R1CSCompiler
-from openzl_tpu.eclair.gadgets import U8, UnsignedInteger, select_from_table
+from openzl_tpu.eclair.gadgets import (
+    U8,
+    UnsignedInteger,
+    div_rem_mod_prime,
+    select_from_table,
+)
 
 RNG = random.Random(0xEC)
 
@@ -87,6 +92,52 @@ class TestUnsignedInteger:
         com2 = R1CSCompiler.for_proofs(spec)
         U8.new(com2, com2.secret_witness(256))
         assert not com2.cs.is_satisfied()
+
+
+class TestDivRemModPrime:
+    """Euclidean mod-reduce gadget (reference constraint/mod.rs:432-499)."""
+
+    def test_native_matches_divmod(self):
+        spec = ed.BABY_JUBJUB.base
+        m = ed.BABY_JUBJUB.order
+        com = NativeCompiler(spec)
+        for _ in range(5):
+            x = RNG.randrange(spec.modulus)
+            q, r = div_rem_mod_prime(com, com.constant(x), m)
+            assert (q, r) == divmod(x, m)
+
+    def test_r1cs_satisfiable_and_value(self):
+        spec = ed.BABY_JUBJUB.base
+        m = ed.BABY_JUBJUB.order
+        for x in (0, m - 1, m, m + 1, spec.modulus - 1, RNG.randrange(spec.modulus)):
+            com = R1CSCompiler.for_proofs(spec)
+            xv = com.secret_witness(x)
+            q, r = div_rem_mod_prime(com, xv, m)
+            assert com.cs.is_satisfied()
+            assert (q.value, r.value) == divmod(x, m)
+
+    def test_r1cs_wrong_remainder_unsatisfiable(self):
+        spec = ed.BABY_JUBJUB.base
+        m = ed.BABY_JUBJUB.order
+        x = RNG.randrange(spec.modulus)
+        com = R1CSCompiler.for_proofs(spec)
+        _, r = div_rem_mod_prime(com, com.secret_witness(x), m)
+        com.assert_eq(r, com.constant((x % m + 1) % m))
+        assert not com.cs.is_satisfied()
+
+    def test_setup_prove_shapes_agree(self):
+        spec = ed.BABY_JUBJUB.base
+        m = ed.BABY_JUBJUB.order
+
+        def build(com, known):
+            xv = com.secret_witness(12345 if known else None)
+            div_rem_mod_prime(com, xv, m)
+            return com.cs
+
+        setup = build(R1CSCompiler.for_contexts(spec), False)
+        prove = build(R1CSCompiler.for_proofs(spec), True)
+        assert setup.num_constraints == prove.num_constraints
+        assert setup.num_witness == prove.num_witness
 
 
 @pytest.mark.parametrize("spec", [ed.BABY_JUBJUB], ids=["baby_jubjub"])
