@@ -113,7 +113,8 @@ def test_groth16_device_backend_e2e():
     pre = [RNG.randrange(g16.fr.modulus) for _ in range(2)]
     digest = refposeidon.hash(params, pre)
 
-    pk = g16.compile(build(g16.context_compiler()).cs, RNG)
+    setup_cs = build(g16.context_compiler()).cs
+    pk = g16.compile(setup_cs, RNG)
     assert pk.prepared is not None and not pk.host
     prove_cs = build(g16.proof_compiler(), pre, digest).cs
     proof = g16.prove(pk, prove_cs, RNG)
@@ -121,3 +122,10 @@ def test_groth16_device_backend_e2e():
     inputs = InputBuilder(g16.fr.modulus).extend_field(digest).build()
     assert g16.verify(pk.vk, inputs, proof)
     assert not g16.verify(pk.vk, [(digest + 1) % g16.fr.modulus], proof)
+
+    # tape-replay prove path (no Python re-trace): same pk, fresh proof
+    calc = g16.witness_calculator(setup_cs)
+    z = calc.evaluate([digest], pre)
+    assert z == prove_cs.assignment()
+    proof2 = g16.prove_assigned(pk, z, RNG)
+    assert g16.verify(pk.vk, inputs, proof2)

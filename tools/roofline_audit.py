@@ -146,6 +146,61 @@ def main():
         f"({eff:.0%} of 24-limb ceiling; formula montmuls only)",
     )
 
+    # --- full MSM pipeline (sort+fold+scan overheads included) ----------
+    from openzl_tpu.fields import limb as limbmod
+    from openzl_tpu.ops import msm as msmmod
+
+    curve = BLS12_381_G1
+    log_n = 18
+    nm = 1 << log_n
+    d = rng.integers(1, 1 << 63, size=nm, dtype=np.uint64)
+    pts = msmmod.fixed_base_msm(
+        curve, jnp.asarray(limbmod.pack(curve.scalar, d.astype(object))),
+        n_bits=64,
+    )
+    np.asarray(pts.x[0, :1])
+    import random as pyrandom
+
+    pyr = pyrandom.Random(5)
+    rmod = curve.scalar.modulus
+    sv = [pyr.randrange(rmod) for _ in range(nm)]
+    sk = jax.device_put(
+        jnp.asarray(limbmod.pack(curve.scalar, np.array(sv, dtype=object)))
+    )
+    out = msmmod.msm(curve, sk, pts)
+    np.asarray(out.x[:1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = msmmod.msm(curve, sk, pts)
+        np.asarray(out.x[:1])
+    dtm = (time.perf_counter() - t0) / 3
+    cw = msmmod._default_window_bits(nm, 255)
+    windows = -(-255 // cw)
+    # mixed adds ~11 montmuls; dense adds ~16; sum over the pipeline stages:
+    # per window n mixed folds + ~3*2^c dense (lifted scan + 2 weighted
+    # scans at bucket width, log-depth counted as ~2x width)
+    mm = windows * (nm * 11 + 3 * (1 << cw) * 16)
+    eff = (mm / dtm) / ceil24
+    report(
+        f"full MSM 2^{log_n} (c={cw})", mm, dtm,
+        f"({eff:.0%} of 24-limb ceiling incl. sort/gather/launch overhead)",
+    )
+
+    # XLA's own accounting of the full MSM executable
+    try:
+        lowered = msmmod._msm_jit.lower(curve, np.asarray(sk), pts, None, None)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca:
+            print(
+                f"msm cost_analysis: flops={ca.get('flops', 0):.3e} "
+                f"bytes={ca.get('bytes accessed', 0):.3e}",
+                flush=True,
+            )
+    except Exception as e:  # cost_analysis is best-effort across jax versions
+        print(f"cost_analysis unavailable: {e}", flush=True)
+
     out = {
         "rows": [
             {"kernel": r[0], "montmuls": r[1], "ms": round(r[2], 2),
