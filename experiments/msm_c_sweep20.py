@@ -47,14 +47,25 @@ ss_obj = np.array(ss, dtype=object)
 scal_s = np.asarray(limb.pack(curve.scalar, ss_obj))
 want_k = sum(int(a) * b for a, b in zip(ks, ss)) % r_mod
 
+def fence(out):
+    # the axon relay's block_until_ready does not reliably fence (see
+    # docs/performance.md); force a device->host readback instead
+    np.asarray(out.x)
+
+
+scal_dev = jax.device_put(scal_s)
+pts_dev = jax.tree_util.tree_map(jax.device_put, pts)
+fence(pts_dev)
+
 for c in (None, 12, 13, 14):
-    out = msmmod.msm(curve, scal_s, pts, window_bits=c)
-    jax.block_until_ready(out.x)
+    out = msmmod.msm(curve, scal_dev, pts_dev, window_bits=c)
+    fence(out)
     t0 = time.perf_counter()
-    for _ in range(3):
-        out = msmmod.msm(curve, scal_s, pts, window_bits=c)
-        jax.block_until_ready(out.x)
-    dt = (time.perf_counter() - t0) / 3
+    ITERS = 3
+    for _ in range(ITERS):
+        out = msmmod.msm(curve, scal_dev, pts_dev, window_bits=c)
+        fence(out)
+    dt = (time.perf_counter() - t0) / ITERS
     got = jac.to_affine_ints(curve, out)
     from openzl_tpu.ref import curve as refc
 

@@ -32,8 +32,10 @@ from openzl_tpu.ops import msm as msmmod
 
 print("platform:", jax.devices()[0].platform, flush=True)
 
+import os
+
 curve = BLS12_381_G1
-LOG_N = 18
+LOG_N = int(os.environ.get("MSM_LOG_N", "18"))
 n = 1 << LOG_N
 ITERS = 8
 rng = np.random.default_rng(3)

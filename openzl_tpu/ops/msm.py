@@ -66,14 +66,15 @@ def _digits(scalars: jnp.ndarray, window: int, c: int) -> jnp.ndarray:
     return (d & jnp.uint32((1 << c) - 1)).astype(jnp.int32)
 
 
-def _gather_sorted(curve: CurveSpec, pts: JPoint, order, normalized: bool):
-    """Points in sort order. When `normalized` (Z in {0,1} and every
-    infinity's digit forced to 0 — see `_msm_jit`), Z is not gathered at
-    all: digit-0 segments fold garbage that lands in the discarded bucket 0,
-    so a constant Z = 1 is sound and saves a third of the gather traffic
-    (the window-loop's dominant HBM cost at 2^18+)."""
+def _gather_sorted(curve: CurveSpec, pts: JPoint, order, skip_z: bool):
+    """Points in sort order. When `skip_z` (points normalized to Z in {0,1}
+    AND every infinity's digit forced to 0 — see `_msm_jit`), Z is not
+    gathered at all: digit-0 segments fold garbage that lands in the
+    discarded bucket 0, so a constant Z = 1 is sound and saves a third of
+    the gather traffic (the window-loop's dominant HBM cost at 2^18+).
+    Multi-set callers (shared digits, per-set infinities) must gather Z."""
     F = jac.field_ops(curve)
-    if not normalized:
+    if not skip_z:
         return JPoint(
             F.take(pts.x, order), F.take(pts.y, order), F.take(pts.z, order)
         )
@@ -94,7 +95,7 @@ def _segmented_bucket_sums(
     F = jac.field_ops(curve)
     order = jnp.argsort(digits)
     sd = digits[order]
-    sp = _gather_sorted(curve, pts, order, normalized)
+    sp = _gather_sorted(curve, pts, order, skip_z=normalized)
 
     # segment starts: first element or digit change
     prev = jnp.concatenate([jnp.full((1,), -1, sd.dtype), sd[:-1]])
@@ -127,9 +128,61 @@ def _segmented_bucket_sums(
     )
 
 
+#: sort-key budget for the packed (digit, local-index) u32 sort. A test
+#: shrinks this to force the part-split path at small sizes.
+_MAX_SORT_BITS = 32
+
+
+def _rows_of_points(curve: CurveSpec, pts: JPoint, gather_z: bool):
+    """Row-major (N, Kp) copy of the point coords, lane-padded to 128 u32.
+
+    The sorted-order gather then fetches 512-byte contiguous ROWS: measured
+    4x faster than minor-axis gathers on the limb-planar (K, N) layout at
+    n=2^20 (experiments/gather_probe.py — 14 ms vs 57 ms for 2^20 rows),
+    and one dense transpose (~5 ms) restores the limb-planar layout."""
+    n = pts.x.shape[-1]
+    coords = [pts.x, pts.y] + ([pts.z] if gather_z else [])
+    flat = jnp.concatenate([v.reshape((-1, n)) for v in coords], axis=0)
+    k = flat.shape[0]
+    kp = -(-k // 128) * 128
+    rows = flat.T
+    if kp != k:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n, kp - k), jnp.uint32)], axis=1
+        )
+    return rows
+
+
+def _gather_rows(
+    curve: CurveSpec, pts: JPoint, rows: jnp.ndarray, order, skip_z: bool
+) -> JPoint:
+    """rows[order] (contiguous-row gather), then ONE transpose back to the
+    limb-planar layout, split into coords shaped value + order.shape."""
+    F = jac.field_ops(curve)
+    got = rows[order]  # (*order.shape, Kp)
+    planar = jnp.moveaxis(got, -1, 0)  # (Kp, *order.shape)
+    bshape = order.shape
+
+    def take_coord(off, tmpl):
+        size = 1
+        for d in tmpl.shape[:-1]:
+            size *= d
+        v = planar[off : off + size]
+        return v.reshape(tmpl.shape[:-1] + bshape), off + size
+
+    x, off = take_coord(0, pts.x)
+    y, off = take_coord(off, pts.y)
+    if skip_z:
+        z = F.one(tuple(x.shape[F.value_ndim :]))
+    else:
+        z, off = take_coord(off, pts.z)
+    return JPoint(x, y, z)
+
+
 def _bucket_totals_fast(
     curve: CurveSpec, pts: JPoint, digits: jnp.ndarray, c: int,
-    normalized: bool = False,
+    normalized: bool = False, multi_set: bool = False,
+    rows: Optional[jnp.ndarray] = None,
 ) -> JPoint:
     """Segment-TOTAL bucket accumulation: ~n mixed adds per window.
 
@@ -140,30 +193,68 @@ def _bucket_totals_fast(
     pre-normalized (Z in {0,1}), so the serial intra-chunk fold uses the
     cheaper mixed add.
 
-    Pipeline: argsort by digit; serial fold over R columns of the (L, R)
-    chunk grid under ONE fori_loop, scattering each tail's chunk-local
-    prefix (plus its chunk index and segment-start flag) into the bucket
-    arrays as it appears; lifted segmented scan over the L chunk totals;
-    one bucket-width gather + lifted combine applies cross-chunk offsets.
+    Pipeline: single-operand sort of packed (digit, index) u32 keys; serial
+    fold over R columns of the (L, R) chunk grid under ONE fori_loop,
+    scattering each tail's chunk-local prefix (plus its chunk index and
+    segment-start flag) into the bucket arrays as it appears; lifted
+    segmented scan over the L chunk totals; one bucket-width gather +
+    lifted combine applies cross-chunk offsets.
     Requires pts normalized (`jacobian.normalize`).
+
+    When c + log2(n) exceeds the 32-bit key budget, the batch splits into
+    PARTS that sort independently (local indices stay packable) and own
+    separate bucket arrays, tree-reduced at the end: (P-1) full adds per
+    bucket buys keeping the single-operand sort — the variadic argsort
+    fallback measured ~40x slower at 2^20 (experiments/msm_profile.py).
+
+    multi_set: pts carries an extra SET axis right after the value dims
+    (shape (n_limbs[, 2], S, N)) sharing ONE digit array — the sort, index
+    algebra, and every kernel launch are amortized across the S point sets
+    (the Groth16 prover's a/b1/l queries share the assignment scalars).
+    Per-set infinities can't be digit-masked, so Z is gathered and the
+    madd identity masks absorb them.
+
+    rows: optional `_rows_of_points` copy for the fast contiguous-row
+    gather; required from the grouped/scan callers (falls back to the
+    limb-planar gather when None, e.g. the tiny-n fallback path).
     """
     F = jac.field_ops(curve)
-    g = digits.shape[:-1]  # leading window-GROUP axes (() or (G,)): every op
-    # below is batched over them, so one kernel launch serves G windows
-    n = digits.shape[-1]
-    idx_bits = max(1, (n - 1).bit_length())
-    if c + idx_bits <= 32:
-        # pack (digit, index) into ONE u32 and sort a single array: argsort
-        # sorts a (key, iota) PAIR, i.e. twice the traffic of this
-        packed = (digits.astype(jnp.uint32) << jnp.uint32(idx_bits)) | (
-            jnp.arange(n, dtype=jnp.uint32)
+    g0 = digits.shape[:-1]  # caller's window-GROUP axes (() or (G,))
+    n0 = digits.shape[-1]
+    idx_bits0 = max(1, (n0 - 1).bit_length())
+
+    r_probe = 32
+    while r_probe > 1 and (n0 % r_probe or n0 // r_probe < 8):
+        r_probe //= 2
+    if r_probe < 4:
+        assert not g0 and not multi_set, (
+            "grouped/multi-set paths require n >= 32 (caller guards)"
         )
-        ps = jnp.sort(packed, axis=-1)
-        order = (ps & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-        sd = (ps >> jnp.uint32(idx_bits)).astype(jnp.int32)
+        return _segmented_bucket_sums(curve, pts, digits, c, normalized)
+
+    parts = 1 << max(0, c + idx_bits0 - _MAX_SORT_BITS)
+    n = n0 // parts
+    assert n0 % parts == 0 and n >= 32, (n0, parts, c)
+    if parts > 1:
+        # rows q of the flattened (G*P, n/P) digit grid map to part q % P
+        digits = digits.reshape((-1, n))
+        g = (digits.shape[0],)
     else:
-        order = jnp.argsort(digits, axis=-1)
-        sd = jnp.take_along_axis(digits, order, axis=-1)
+        g = g0
+    idx_bits = max(1, (n - 1).bit_length())
+    assert c + idx_bits <= _MAX_SORT_BITS
+
+    # pack (digit, local index) into ONE u32 and sort a single array: the
+    # TPU fast path (variadic key+payload sorts are dramatically slower)
+    packed = (digits.astype(jnp.uint32) << jnp.uint32(idx_bits)) | (
+        jnp.arange(n, dtype=jnp.uint32)
+    )
+    ps = jnp.sort(packed, axis=-1)
+    order = (ps & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    sd = (ps >> jnp.uint32(idx_bits)).astype(jnp.int32)
+    if parts > 1:
+        offs = (jnp.arange(g[0], dtype=jnp.int32) % parts) * n
+        order = order + offs[:, None]  # part-local -> global point index
 
     fullm1 = jnp.full(g + (1,), -1, sd.dtype)
     starts = sd != jnp.concatenate([fullm1, sd[..., :-1]], axis=-1)
@@ -172,9 +263,7 @@ def _bucket_totals_fast(
     r = 32
     while r > 1 and (n % r or n // r < 8):
         r //= 2
-    if r < 4:
-        assert not g, "grouped path requires n >= 32 (caller guards)"
-        return _segmented_bucket_sums(curve, pts, digits, c, normalized)
+    assert r >= 4, (n, r)
     l = n // r
     dump = 1 << c
     width = dump + 1
@@ -187,9 +276,16 @@ def _bucket_totals_fast(
     def rt(v):
         return jnp.moveaxis(v.reshape(v.shape[:-1] + (l, r)), -1, -2)
 
-    sp = _gather_sorted(curve, pts, rt(order), normalized)
+    skip_z = normalized and not multi_set
+    if rows is not None:
+        sp = _gather_rows(curve, pts, rows, rt(order), skip_z=skip_z)
+    else:
+        sp = _gather_sorted(curve, pts, rt(order), skip_z=skip_z)
     cps = sp  # (..., r, l) already
     st2 = rt(starts)
+    # point-value batch prefix: digit axes g, plus the set axis when
+    # multi_set — identities/pads on the point side must carry it
+    sb = sp.x.shape[F.value_ndim : -2]
 
     gi = jnp.arange(g[0])[:, None] if g else None  # (G, 1) batch index
 
@@ -226,7 +322,7 @@ def _bucket_totals_fast(
     # unoccupied buckets carry the identity (flag True keeps it in `lifted`)
     bflag = (start_pos // r == chunk_b) | ~occ
 
-    acc0 = tuple(jac.identity(curve, g + (l,)))
+    acc0 = tuple(jac.identity(curve, sb + (l,)))
     buf0 = tuple(jnp.zeros(v.shape, jnp.uint32) for v in sp)
 
     def col(v, j):
@@ -260,7 +356,7 @@ def _bucket_totals_fast(
         return (*tuple(out), fa | fb)
 
     def lifted_pad(k):
-        return (*tuple(jac.identity(curve, g + (k,))), jnp.zeros(g + (k,), bool))
+        return (*tuple(jac.identity(curve, sb + (k,))), jnp.zeros(g + (k,), bool))
 
     incl = inclusive_scan(lifted, (*totals, tflag), lifted_pad)
     idp = lifted_pad(1)
@@ -276,16 +372,31 @@ def _bucket_totals_fast(
             return bf[..., col_b, chunk_b]
         return bf[..., gi, col_b, chunk_b]
 
-    idw = jac.identity(curve, g + (width,))
+    idw = jac.identity(curve, sb + (width,))
     bv = jac.select(occ, JPoint(*(pick(bf) for bf in bufs)), idw, F)
     off = tuple(gather_last(v, chunk_b) for v in excl)
     total = lifted(off, (*tuple(bv), bflag))
     buckets = JPoint(*total[:3])
-    return JPoint(
+    buckets = JPoint(
         F.slice_batch(buckets.x, 0, dump),
         F.slice_batch(buckets.y, 0, dump),
         F.slice_batch(buckets.z, 0, dump),
     )
+    if parts > 1:
+        # (..., G*P, 2^c) -> (..., *g0, P, 2^c), tree-reduce the parts axis
+        def unsplit(v):
+            return v.reshape(v.shape[:-2] + g0 + (parts, dump))
+
+        cur = JPoint(unsplit(buckets.x), unsplit(buckets.y), unsplit(buckets.z))
+        p_live = parts
+        while p_live > 1:
+            half = p_live // 2
+            a = JPoint(*(v[..., :half, :] for v in cur))
+            b = JPoint(*(v[..., half:p_live, :] for v in cur))
+            cur = jac.add(curve, a, b)
+            p_live = half
+        buckets = JPoint(*(v[..., 0, :] for v in cur))
+    return buckets
 
 
 def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
@@ -467,6 +578,139 @@ def msm(
     return _msm_jit(curve, scalars, points, window_bits, n_bits)
 
 
+def msm_multi(
+    curve: CurveSpec,
+    scalars: jnp.ndarray,
+    points_list,
+    window_bits: Optional[int] = None,
+    n_bits: Optional[int] = None,
+):
+    """One MSM per point set against a SHARED scalar vector.
+
+    The Pippenger pipeline's scalar-side work (digit extraction, per-window
+    sort, bucket index algebra) and every kernel launch are amortized across
+    the sets by batching the point arrays on a set axis just after the limb
+    dims — the Groth16 prover's a/b1/l query MSMs all consume the same
+    assignment vector (reference plugins/arkworks/src/groth16.rs:446-457).
+    Identity points inside a set (zero query coefficients) are absorbed by
+    the mixed-add masks, so sets need no per-set digit masking.
+
+    Returns a list of scalar-batch JPoints, one per set.
+    """
+    F = jac.field_ops(curve)
+    n = scalars.shape[1]
+    assert all(p.x.shape[-1] == n for p in points_list)
+    # pad to pow2 (min 64: the fast bucket pipeline needs chunkable widths)
+    padded = max(64, 1 << (n - 1).bit_length())
+    if padded != n:
+        scalars = jnp.concatenate(
+            [
+                jnp.asarray(scalars),
+                jnp.zeros((scalars.shape[0], padded - n), dtype=jnp.uint32),
+            ],
+            axis=1,
+        )
+        pad_pts = jac.identity(curve, (padded - n,))
+        points_list = [
+            JPoint(
+                F.concat([p.x, pad_pts.x]),
+                F.concat([p.y, pad_pts.y]),
+                F.concat([p.z, pad_pts.z]),
+            )
+            for p in points_list
+        ]
+    stacked = JPoint(
+        *(
+            jnp.stack([getattr(p, f) for p in points_list], axis=F.value_ndim)
+            for f in ("x", "y", "z")
+        )
+    )
+    out = _msm_multi_jit(curve, scalars, stacked, window_bits, n_bits)
+    return [
+        JPoint(out.x[..., s], out.y[..., s], out.z[..., s])
+        for s in range(len(points_list))
+    ]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_multi_jit(
+    curve: CurveSpec,
+    scalars: jnp.ndarray,
+    points: JPoint,
+    window_bits: Optional[int] = None,
+    n_bits: Optional[int] = None,
+) -> JPoint:
+    F = jac.field_ops(curve)
+    n = scalars.shape[1]
+    n_sets = points.z.shape[F.value_ndim]
+    total_bits = n_bits or curve.scalar.bits
+    c = window_bits or _default_window_bits(n, total_bits)
+    n_windows = -(-total_bits // c)
+
+    points = jac.normalize(curve, points)
+    rows = _rows_of_points(curve, points, gather_z=True)
+    digits_all = jnp.stack([_digits(scalars, w, c) for w in range(n_windows)])
+    # (no infinity digit-masking: Z is gathered in the multi-set pipeline
+    # and per-set identities fall out of the madd masks)
+
+    group = (
+        min(n_windows, max(1, _GROUP_ELEMS_CAP // (n * n_sets)))
+        if n >= 256
+        else 1
+    )
+    w_pad = -(-n_windows // group) * group
+    if w_pad != n_windows:
+        digits_all = jnp.concatenate(
+            [digits_all, jnp.zeros((w_pad - n_windows, n), digits_all.dtype)]
+        )
+
+    if group > 1:
+        dg = digits_all.reshape(w_pad // group, group, n)
+
+        def group_body(_, d):
+            b = _bucket_totals_fast(
+                curve, points, d, c, normalized=True, multi_set=True,
+                rows=rows,
+            )
+            return None, tuple(b)
+
+        _, bstack = lax.scan(group_body, None, dg)
+
+        # leaves: (w/G, n_val..., S, G, 2^c) -> (n_val..., S, w, 2^c)
+        def flat(v):
+            v = jnp.moveaxis(v, 0, -3)
+            return v.reshape(v.shape[:-3] + (w_pad, v.shape[-1]))
+
+        buckets = JPoint(flat(bstack[0]), flat(bstack[1]), flat(bstack[2]))
+    else:
+
+        def window_body(_, d):
+            b = _bucket_totals_fast(
+                curve, points, d, c, normalized=True, multi_set=True,
+                rows=rows,
+            )
+            return None, tuple(b)
+
+        _, bstack = lax.scan(window_body, None, digits_all)
+        # leaves: (w, n_val..., S, 2^c) -> (n_val..., S, w, 2^c)
+        buckets = JPoint(*(jnp.moveaxis(v, 0, -2) for v in bstack))
+
+    total = _weighted_bucket_total(curve, buckets, c)  # batch (S, w)
+    sums = JPoint(*(jnp.moveaxis(v, -1, 0) for v in total))  # lead = window
+
+    def horner_body(acc, sum_w):
+        acc = lax.fori_loop(
+            0, c, lambda _, a: tuple(jac.double(curve, JPoint(*a))), acc
+        )
+        acc = jac.add(curve, JPoint(*acc), JPoint(*sum_w))
+        return tuple(acc), None
+
+    top = tuple(v[-1] for v in sums)
+    rest = tuple(v[: w_pad - 1][::-1] for v in sums)
+    acc, _ = lax.scan(horner_body, top, rest)
+    return JPoint(*acc)  # batch (S,)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def _msm_jit(
     curve: CurveSpec,
@@ -483,6 +727,7 @@ def _msm_jit(
     # One batched inversion normalizes every point to Z in {0,1}: all
     # n_windows serial folds then run on the cheaper mixed add.
     points = jac.normalize(curve, points)
+    rows = _rows_of_points(curve, points, gather_z=False)
 
     # All window digits up front. Infinities (from padding) get digit 0 in
     # EVERY window: they land in the discarded bucket 0, which lets the
@@ -509,7 +754,9 @@ def _msm_jit(
         dg = digits_all.reshape(w_pad // group, group, n)
 
         def group_body(_, d):
-            buckets = _bucket_totals_fast(curve, points, d, c, normalized=True)
+            buckets = _bucket_totals_fast(
+                curve, points, d, c, normalized=True, rows=rows
+            )
             return None, tuple(buckets)
 
         _, bstack = lax.scan(group_body, None, dg)
@@ -529,7 +776,9 @@ def _msm_jit(
     else:
 
         def window_body(_, d):
-            buckets = _bucket_totals_fast(curve, points, d, c, normalized=True)
+            buckets = _bucket_totals_fast(
+                curve, points, d, c, normalized=True, rows=rows
+            )
             total = _weighted_bucket_total(curve, buckets, c)
             return None, tuple(total)
 

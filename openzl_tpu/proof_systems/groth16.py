@@ -39,7 +39,7 @@ from ..eclair.r1cs import R1CS
 from ..fields import limb
 from ..fields.spec import FieldSpec
 from ..ops import ntt as nttmod
-from ..ops.msm import msm
+from ..ops.msm import msm, msm_multi
 from ..ops.sparse import SparseFieldMatrix
 from ..ref import curve as refc
 from ..ref import pairing as refpair
@@ -240,16 +240,31 @@ def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _prove_msms(g1, g2, ni, z_limbs, h_canon, aq, b1q, b2q, hq, lq):
-    """All five proving MSMs in ONE dispatch (the axon tunnel costs ~35 ms
-    per dispatch; separate calls also force a readback fence each)."""
-    a = msm(g1, z_limbs, aq)
-    b1 = msm(g1, z_limbs, b1q)
-    b2 = msm(g2, z_limbs, b2q)
+    """The five proving MSMs in three pipeline dispatches.
+
+    a/b1/l consume the SAME assignment scalars, so they run as one
+    shared-sort multi-set MSM (`msm_multi`): digit extraction, per-window
+    sorts, and every EC kernel launch are amortized 3x. The l-query is
+    front-padded with `ni` identity points so it aligns with the full
+    assignment (instance scalars x identity contribute nothing). h (own
+    scalars) and b2 (G2) dispatch separately."""
+    F = jac.field_ops(g1)
+    nw = z_limbs.shape[1] - ni
+    sets = [aq, b1q]
+    if nw > 0:
+        pad = jac.identity(g1, (ni,))
+        sets.append(
+            JPoint(
+                F.concat([pad.x, lq.x]),
+                F.concat([pad.y, lq.y]),
+                F.concat([pad.z, lq.z]),
+            )
+        )
+    outs = msm_multi(g1, z_limbs, sets)
     h = msm(g1, h_canon, hq)
-    wit = z_limbs[:, ni:]
-    l = msm(g1, wit, lq) if wit.shape[1] else None
+    b2 = msm(g2, z_limbs, b2q)
     # stack the G1 results so the affine conversion is one batched inversion
-    g1s = [a, b1, h] + ([l] if l is not None else [])
+    g1s = [outs[0], outs[1], h] + ([outs[2]] if nw > 0 else [])
     stacked = JPoint(*(jnp.stack([p[i] for p in g1s], axis=-1) for i in range(3)))
     return stacked, b2
 

@@ -132,3 +132,72 @@ def test_msm_many_duplicate_digits(curve):
     scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
     got = jac.to_affine_ints(curve, msm(curve, scal, P, 4, 8))
     assert got == want
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_msm_multi_matches_individual(curve, monkeypatch, grouped):
+    """Shared-scalar multi-set MSM == per-set msm(), with identity points
+    scattered inside the sets (zero query coefficients in Groth16) and a
+    non-pow2 length exercising the pad path."""
+    from openzl_tpu.ops import msm as msmmod
+    from openzl_tpu.ops.msm import msm_multi
+
+    if grouped:
+        monkeypatch.setattr(msmmod, "_GROUP_ELEMS_CAP", 1024)
+    n = 100  # pads to 128
+    ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
+    sets = []
+    for s in range(3):
+        pts = _points(curve, n)
+        for i in range(s, n, 7 + s):  # per-set identity positions
+            pts[i] = None
+        sets.append(pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    plist = [jac.from_affine_ints(curve, pts) for pts in sets]
+    outs = msm_multi(curve, scal, plist, window_bits=4, n_bits=15)
+    assert len(outs) == 3
+    for pts, out in zip(sets, outs):
+        want = ref.msm(curve, ks, pts)
+        assert jac.to_affine_ints(curve, out) == want
+        # and agrees with the single-set pipeline
+        single = msm(curve, scal, jac.from_affine_ints(curve, pts), 4, 15)
+        assert jac.to_affine_ints(curve, single) == want
+
+
+def test_msm_part_split_sort(curve, monkeypatch):
+    """Shrink the packed sort-key budget so the batch splits into 4
+    independently-sorted parts with per-part bucket arrays (the path big
+    MSMs take when c + log2(n) > 32); result must be unchanged."""
+    from openzl_tpu.ops import msm as msmmod
+
+    monkeypatch.setattr(msmmod, "_MAX_SORT_BITS", 10)  # c=4 + idx 8 -> P=4
+    n = 256
+    pts = _points(curve, n - 1) + [None]
+    ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
+    want = ref.msm(curve, ks, pts)
+    P = jac.from_affine_ints(curve, pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    got = jac.to_affine_ints(curve, msm(curve, scal, P, 4, 15))
+    assert got == want
+
+
+def test_msm_multi_part_split(curve, monkeypatch):
+    """Multi-set + part-split sort together (grouped window path)."""
+    from openzl_tpu.ops import msm as msmmod
+    from openzl_tpu.ops.msm import msm_multi
+
+    monkeypatch.setattr(msmmod, "_MAX_SORT_BITS", 10)
+    monkeypatch.setattr(msmmod, "_GROUP_ELEMS_CAP", 1024)
+    n = 256
+    ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
+    sets = []
+    for s in range(2):
+        pts = _points(curve, n)
+        for i in range(s, n, 9 + s):
+            pts[i] = None
+        sets.append(pts)
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    plist = [jac.from_affine_ints(curve, pts) for pts in sets]
+    outs = msm_multi(curve, scal, plist, window_bits=4, n_bits=15)
+    for pts, out in zip(sets, outs):
+        assert jac.to_affine_ints(curve, out) == ref.msm(curve, ks, pts)
