@@ -444,15 +444,19 @@ def _fixed_base_table(curve: CurveSpec, c: int, n_bits: int) -> JPoint:
     widths, costing minutes of Mosaic compile per curve — for a table whose
     arithmetic is trivially cheap.
     """
+    import os
     import pathlib
+    import tempfile
+
+    import numpy as np
 
     from ..ref import curve as refc
 
     windows = -(-n_bits // c)
     width = 1 << c
     cache = pathlib.Path(
-        f"/tmp/ozl_fbtable_{curve.name}_{c}_{n_bits}.npz"
-    )
+        os.environ.get("OZL_CACHE_DIR", tempfile.gettempdir())
+    ) / f"ozl_fbtable_{curve.name}_{c}_{n_bits}.npz"
     if cache.exists():
         try:
             data = np.load(cache)
@@ -591,7 +595,10 @@ def msm_multi(
     sort, bucket index algebra) and every kernel launch are amortized across
     the sets by batching the point arrays on a set axis just after the limb
     dims — the Groth16 prover's a/b1/l query MSMs all consume the same
-    assignment vector (reference plugins/arkworks/src/groth16.rs:446-457).
+    assignment vector (the reference delegates to ArkGroth16::prove at
+    plugins/arkworks/src/groth16.rs:446-457; the a_query/b_g1_query over the
+    full assignment and l_query over the aux assignment live in the upstream
+    arkworks create_proof internals).
     Identity points inside a set (zero query coefficients) are absorbed by
     the mixed-add masks, so sets need no per-set digit masking.
 

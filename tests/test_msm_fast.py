@@ -143,8 +143,11 @@ def test_msm_multi_matches_individual(curve, monkeypatch, grouped):
     from openzl_tpu.ops.msm import msm_multi
 
     if grouped:
-        monkeypatch.setattr(msmmod, "_GROUP_ELEMS_CAP", 1024)
-    n = 100  # pads to 128
+        # padded n = 512, 3 sets: group = 4096 // (512*3) = 2 > 1, so the
+        # grouped multi-set path (lax.scan over window groups) really runs
+        # (n must be >= 256 or _msm_multi_jit forces group = 1)
+        monkeypatch.setattr(msmmod, "_GROUP_ELEMS_CAP", 4096)
+    n = 300 if grouped else 100  # pads to 512 / 128
     ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
     sets = []
     for s in range(3):
@@ -162,6 +165,36 @@ def test_msm_multi_matches_individual(curve, monkeypatch, grouped):
         # and agrees with the single-set pipeline
         single = msm(curve, scal, jac.from_affine_ints(curve, pts), 4, 15)
         assert jac.to_affine_ints(curve, single) == want
+
+
+def test_fixed_base_table_disk_cache(curve, tmp_path, monkeypatch):
+    """`_fixed_base_table` must round-trip through its .npz disk cache: the
+    first call writes the file, a fresh call (lru cleared, host EC oracle
+    disabled) must LOAD it rather than rebuild (VERDICT r3: the save/load
+    path silently never ran because of a missing numpy import)."""
+    from openzl_tpu.ops import msm as msmmod
+    from openzl_tpu.ref import curve as refc
+
+    monkeypatch.setenv("OZL_CACHE_DIR", str(tmp_path))
+    msmmod._fixed_base_table.cache_clear()
+    try:
+        t1 = msmmod._fixed_base_table(curve, 4, 16)
+        files = list(tmp_path.glob("ozl_fbtable_*.npz"))
+        assert len(files) == 1, "table build must write the disk cache"
+        # simulate a fresh process: clear the lru cache and make the host
+        # builder unusable — success proves the disk load path works
+        msmmod._fixed_base_table.cache_clear()
+
+        def boom(*a, **k):
+            raise AssertionError("table rebuilt instead of disk-loaded")
+
+        monkeypatch.setattr(refc, "generator", boom)
+        t2 = msmmod._fixed_base_table(curve, 4, 16)
+        assert (np.asarray(t1.x) == np.asarray(t2.x)).all()
+        assert (np.asarray(t1.y) == np.asarray(t2.y)).all()
+        assert (np.asarray(t1.z) == np.asarray(t2.z)).all()
+    finally:
+        msmmod._fixed_base_table.cache_clear()
 
 
 def test_msm_part_split_sort(curve, monkeypatch):
