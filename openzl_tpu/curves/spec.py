@@ -18,6 +18,7 @@ from ..fields.spec import (
     BLS12_381_FR,
     BN254_FQ,
     BN254_FR,
+    BW6_761_FQ,
     PALLAS_FP,
     VESTA_FP,
     FieldSpec,
@@ -149,6 +150,39 @@ BLS12_377_G2 = CurveSpec(
     nr2=-5,
 )
 
+#: BW6-761 G1: the outer curve of the BLS12-377 2-chain (reference curve
+#: matrix `bw6_761`, plugins/arkworks/Cargo.toml ark-bw6-761). Its SCALAR
+#: field is BLS12-377's BASE field, so a BW6 circuit can verify BLS12-377
+#: pairings natively (one-layer proof composition). E: y^2 = x^3 - 1 over
+#: the 761-bit Fq (fields/spec.py BW6_761_FQ derivation note). Embedding
+#: degree 6; G2 is over Fq itself (sextic M-twist y^2 = x^3 + 4). The
+#: generators are DERIVED, not copied: the smallest-x curve point with the
+#: lexicographically smaller y, cleared by the cofactor (x0 = 2 for G1,
+#: x0 = 1 for G2); subgroup order r verified in tests/test_pairing_bw6.py.
+BW6_761_G1 = CurveSpec(
+    name="bw6_761_g1",
+    base=BW6_761_FQ,
+    scalar=BLS12_377_FQ,
+    a=0,
+    b=BW6_761_FQ.modulus - 1,
+    gen_x=5121082781502305659180673370797932802982723165543122975335209418297923345190975559367024470794567213188867624617939698818627134048004915564891369096213721202693630090148097888923493708182442885908076346607300083583163982163789167,
+    gen_y=3936891438836912583780051937508657570812555345221986954460153541952284123191322673907692687918062549220672207508016306900511821136915723707181225276750353973961376292016478674329987421847947883311993206004548631860683957877121757,
+    cofactor=0xAD1972339049CE762C77D5AC34CB12EFC856A0853C9DB94CC61C554757551C0C832BA4061000003B3DE580000000007C,
+)
+
+#: BW6-761 G2: the sextic twist E': y^2 = x^3 + 4 over Fq (ext=1 — no
+#: field extension, unlike the k=12 curves' Fq2 twists).
+BW6_761_G2 = CurveSpec(
+    name="bw6_761_g2",
+    base=BW6_761_FQ,
+    scalar=BLS12_377_FQ,
+    a=0,
+    b=4,
+    gen_x=4299495046121976197967899669570453663523609133273326781652351086315825538613647196868186765217397067654540962955975840176693419657193486845273767814170238104346390446211356851381676719718477415944688400098442139983341339355564981,
+    gen_y=5390068907621955088169558704058566111636841949933812064258391788701969884935470780815806205108266591280868872340793447961301446566465351736303970166703756567269434202182284388197563290670801062112376259336491499915806321277334517,
+    cofactor=0xAD1972339049CE762C77D5AC34CB12EFC856A0853C9DB94CC61C554757551C0C832BA4061000003B3DE5800000000075,
+)
+
 #: Pasta cycle (reference curve matrix `pallas`/`vesta` features): a 2-cycle
 #: of prime-order a=0 curves — each curve's base field is the other's scalar
 #: field, so recursion-style circuits can alternate curves. No pairing
@@ -182,6 +216,8 @@ REGISTRY = {
         BN254_G2,
         BLS12_377_G1,
         BLS12_377_G2,
+        BW6_761_G1,
+        BW6_761_G2,
         PALLAS,
         VESTA,
     )

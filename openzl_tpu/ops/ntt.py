@@ -40,6 +40,12 @@ GENERATORS = {
     "bls12_381_fr": 7,
     "bls12_377_fr": 22,
     "babybear": 31,
+    # BW6-761's scalar field = BLS12-377's base field (two-adicity 46).
+    # 5 is the smallest quadratic non-residue mod q (self-derived — the ark
+    # crate constant is unavailable here), which guarantees
+    # g^((q-1)/2^46) has order exactly 2^46 and g^n != 1 for every domain
+    # size n <= 2^45 (coset Z(g w^j) never vanishes).
+    "bls12_377_fq": 5,
 }
 
 

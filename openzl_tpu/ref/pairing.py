@@ -86,6 +86,16 @@ BN254 = PairingSpec(
     ate_negative=False,
 )
 
+def __getattr__(name):
+    # BW6-761 (embedding degree 6) lives in ref.pairing6; exposed here so
+    # `refpair.BW6_761` works like the k=12 specs without a circular import.
+    if name == "BW6_761":
+        from .pairing6 import BW6_761
+
+        return BW6_761
+    raise AttributeError(name)
+
+
 _BLS377_X = 0x8508C00000000001  # positive seed
 
 BLS12_377 = PairingSpec(
@@ -228,6 +238,10 @@ def pairing_product_is_one(spec: PairingSpec, pairs) -> bool:
     affine Miller steps + staged final exponentiation, ~10x this module)
     when the library is built; this pure-Python path is the oracle and
     fallback."""
+    if getattr(spec, "embedding_degree", 12) == 6:
+        from . import pairing6
+
+        return pairing6.pairing_product_is_one(spec, pairs)
     live = [(P, Q) for P, Q in pairs if P is not None and Q is not None]
     try:
         from .. import native
