@@ -7,12 +7,26 @@ multi-host via `jax.distributed`.
 """
 
 from .mesh import data_mesh, local_mesh
-from .ops import sharded_msm, sharded_ntt, sharded_poseidon_hash
+from .ops import (
+    sharded_coset_intt,
+    sharded_coset_ntt,
+    sharded_intt,
+    sharded_msm,
+    sharded_msm_multi,
+    sharded_ntt,
+    sharded_poseidon_hash,
+    sharded_transform,
+)
 
 __all__ = [
     "data_mesh",
     "local_mesh",
+    "sharded_coset_intt",
+    "sharded_coset_ntt",
+    "sharded_intt",
     "sharded_msm",
+    "sharded_msm_multi",
     "sharded_ntt",
     "sharded_poseidon_hash",
+    "sharded_transform",
 ]

@@ -44,6 +44,61 @@ def sharded_poseidon_hash(perm, mesh: Mesh, inputs, axis: str = "data"):
     return fn(inputs)
 
 
+def _pad_msm_inputs(
+    curve: CurveSpec, scalars: jnp.ndarray, points_list, multiple: int
+):
+    """Pad N up to a multiple of `multiple` with zero scalars x identity
+    points (doubly inert: zero digits land in discarded bucket 0 AND the
+    identity Z=0 is absorbed by the mixed-add masks)."""
+    F = jac.field_ops(curve)
+    n = scalars.shape[1]
+    padded = -(-n // multiple) * multiple
+    if padded == n:
+        return scalars, points_list
+    scalars = jnp.concatenate(
+        [
+            jnp.asarray(scalars),
+            jnp.zeros((scalars.shape[0], padded - n), jnp.uint32),
+        ],
+        axis=1,
+    )
+    pad_pts = jac.identity(curve, (padded - n,))
+    points_list = [
+        JPoint(
+            F.concat([p.x, pad_pts.x]),
+            F.concat([p.y, pad_pts.y]),
+            F.concat([p.z, pad_pts.z]),
+        )
+        for p in points_list
+    ]
+    return scalars, points_list
+
+
+def _reduce_partials(curve: CurveSpec, part: JPoint, axis: str, n_dev: int):
+    """all_gather the per-chip partial MSMs and tree-add them (log2 depth).
+
+    O(1) ICI traffic per chip — the classic MSM point-partition reduction.
+    The device axis is gathered onto the TRAILING (batch) axis so the limb
+    layout jac.add expects (value dims leading) is preserved."""
+    gathered = tuple(
+        jax.lax.all_gather(v, axis, axis=v.ndim) for v in part
+    )  # (n_limbs[,2], *batch, n_dev)
+    if n_dev & (n_dev - 1):  # non-pow2 mesh: sequential fold
+        acc = JPoint(*(v[..., 0] for v in gathered))
+        for i in range(1, n_dev):
+            acc = jac.add(curve, acc, JPoint(*(v[..., i] for v in gathered)))
+        return tuple(acc)
+    live = n_dev
+    cur = list(gathered)
+    while live > 1:
+        half = live // 2
+        a = JPoint(*(v[..., :half] for v in cur))
+        b = JPoint(*(v[..., half:live] for v in cur))
+        cur = list(jac.add(curve, a, b))
+        live = half
+    return tuple(v[..., 0] for v in cur)
+
+
 def sharded_msm(
     curve: CurveSpec,
     mesh: Mesh,
@@ -58,29 +113,25 @@ def sharded_msm(
     Each chip runs the full Pippenger pipeline on its shard (MSM distributes
     over point partitions), then the per-chip partials are combined with
     log2(n_chips) EC adds after an all_gather over ICI — O(1) traffic.
+    N is padded to a multiple of the mesh size (zero scalars x identities).
     """
     n_dev = mesh.devices.size
+    scalars, (points,) = _pad_msm_inputs(curve, scalars, [points], n_dev)
 
     def local(scal, pts):
         part = msmmod.msm(curve, scal, JPoint(*pts), window_bits, n_bits)
-        gathered = tuple(
-            jax.lax.all_gather(v, axis) for v in part
-        )  # (n_dev, n_limbs[,2])
-        acc = JPoint(*(v[0] for v in gathered))
-        for i in range(1, n_dev):
-            acc = jac.add(curve, acc, JPoint(*(v[i] for v in gathered)))
-        return tuple(acc)
+        return _reduce_partials(curve, part, axis, n_dev)
 
+    pspec = P(None, axis) if curve.ext == 1 else P(None, None, axis)
     fn = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(None, axis), P(None, axis) if curve.ext == 1 else P(None, None, axis)),
+            in_specs=(P(None, axis), pspec),
             out_specs=P(),
             check_vma=False,  # result is replicated by construction
         )
     )
-    pspec = P(None, axis) if curve.ext == 1 else P(None, None, axis)
     scalars = jax.device_put(scalars, NamedSharding(mesh, P(None, axis)))
     points = JPoint(
         *(jax.device_put(v, NamedSharding(mesh, pspec)) for v in points)
@@ -88,8 +139,120 @@ def sharded_msm(
     return JPoint(*fn(scalars, tuple(points)))
 
 
-def sharded_ntt(
-    spec: FieldSpec, mesh: Mesh, coeffs: jnp.ndarray, axis: str = "data"
+def sharded_msm_multi(
+    curve: CurveSpec,
+    mesh: Mesh,
+    scalars: jnp.ndarray,
+    points_list,
+    window_bits: Optional[int] = None,
+    n_bits: Optional[int] = None,
+    axis: str = "data",
+):
+    """Shared-scalar multi-set MSM (ops.msm.msm_multi) with the POINT axis
+    sharded per chip: each chip runs the amortized multi-set Pippenger on
+    its point/scalar shard, then the per-chip (S,)-batched partials reduce
+    with log2(n_chips) EC adds after one all_gather — the mesh-parallel form
+    of the Groth16 prover's a/b1/l dispatch (VERDICT r3 item 1).
+
+    Returns a list of scalar-batch JPoints, one per set (replicated)."""
+    F = jac.field_ops(curve)
+    n_dev = mesh.devices.size
+    n_sets = len(points_list)
+    scalars, points_list = _pad_msm_inputs(curve, scalars, points_list, n_dev)
+    stacked = JPoint(
+        *(
+            jnp.stack([getattr(p, f) for p in points_list], axis=F.value_ndim)
+            for f in ("x", "y", "z")
+        )
+    )
+
+    def local(scal, pts):
+        outs = msmmod.msm_multi(
+            curve,
+            scal,
+            [
+                JPoint(*(jnp.take(v, s, axis=F.value_ndim) for v in pts))
+                for s in range(n_sets)
+            ],
+            window_bits,
+            n_bits,
+        )
+        part = JPoint(  # re-stack set results: batch (S,)
+            *(
+                jnp.stack([getattr(o, f) for o in outs], axis=-1)
+                for f in ("x", "y", "z")
+            )
+        )
+        return _reduce_partials(curve, part, axis, n_dev)
+
+    sspec = (
+        P(None, None, axis) if curve.ext == 1 else P(None, None, None, axis)
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), sspec),
+            out_specs=P(),
+            check_vma=False,  # replicated by construction
+        )
+    )
+    scalars = jax.device_put(scalars, NamedSharding(mesh, P(None, axis)))
+    stacked = JPoint(
+        *(jax.device_put(v, NamedSharding(mesh, sspec)) for v in stacked)
+    )
+    out = JPoint(*fn(scalars, tuple(stacked)))
+    return [
+        JPoint(out.x[..., s], out.y[..., s], out.z[..., s])
+        for s in range(n_sets)
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _transform_tables(
+    spec: FieldSpec, log_n: int, n_dev: int, inverse: bool, coset: bool
+):
+    """Host-built (twiddle, pre, post) matrices for the sharded four-step
+    transform: tw[i, j'] = w^(i*j') (w inverted for iNTT); pre[i, j] =
+    g^(j*R+i) (coset-forward input scale); post[i', j'] = g^-(i'*C+j')
+    (coset-inverse output scale). All Montgomery-packed (n_limbs, R, C)."""
+    n = 1 << log_n
+    R, C = n_dev, n // n_dev
+    p = spec.modulus
+    w = nttmod.group_gen(spec, log_n)
+    if inverse:
+        w = pow(w, -1, p)
+
+    def geom(first_of_row, step_of_row):
+        m = np.empty((R, C), dtype=object)
+        for i in range(R):
+            acc = first_of_row(i)
+            step = step_of_row(i)
+            for j in range(C):
+                m[i, j] = acc
+                acc = acc * step % p
+        return limb.pack_mont(spec, m)
+
+    tw = geom(lambda i: 1, lambda i: pow(w, i, p))
+    pre = post = None
+    if coset:
+        g = nttmod.GENERATORS[spec.name]
+        if inverse:
+            gi = pow(g, -1, p)
+            post = geom(lambda i: pow(gi, i * C, p), lambda i: gi)
+        else:
+            gr = pow(g, R, p)
+            pre = geom(lambda i: pow(g, i, p), lambda i: gr)
+    return tw, pre, post
+
+
+def sharded_transform(
+    spec: FieldSpec,
+    mesh: Mesh,
+    coeffs: jnp.ndarray,
+    inverse: bool = False,
+    coset: bool = False,
+    axis: str = "data",
 ) -> jnp.ndarray:
     """Four-step (Bailey) NTT of size N = R*C sharded over `mesh`, R = n_chips.
 
@@ -104,45 +267,81 @@ def sharded_ntt(
 
     The sub-transform roots come out right automatically: a length-m
     nttmod.ntt uses w_m = w^(N/m) (ark-poly's derivation is per-size).
+
+    inverse: substitutes w^-1 twiddles and nttmod.intt sub-transforms — the
+    sub-intts' 1/C and 1/R scales compose to exactly the full iNTT's 1/N,
+    so no separate scaling pass exists. coset: evaluate on g*H (forward:
+    pre-scale a_m by g^m) or interpolate from g*H (inverse: post-scale by
+    g^-m) — the Groth16 H-polynomial domains, bit-exact with
+    ops.ntt.coset_ntt / coset_intt.
     """
     n_dev = mesh.devices.size
     n = coeffs.shape[1]
     assert n % n_dev == 0 and (n & (n - 1)) == 0
-    R, C = n_dev, n // n_dev
-    p = spec.modulus
-    w = nttmod.group_gen(spec, n.bit_length() - 1)
+    tw, pre, post = _transform_tables(
+        spec, n.bit_length() - 1, n_dev, inverse, coset
+    )
+    sub = nttmod.intt if inverse else nttmod.ntt
 
-    # twiddle matrix w^(i*j'), Montgomery form, sharded like X over rows i
-    tw = np.empty((R, C), dtype=object)
-    for i in range(R):
-        base = pow(w, i, p)
-        acc = 1
-        for j in range(C):
-            tw[i, j] = acc
-            acc = acc * base % p
-    tw_m = jnp.asarray(limb.pack_mont(spec, tw))  # (n_limbs, R, C)
-
-    def local(x, twi):
-        # x, twi: (n_limbs, 1, C) — this chip's row
-        y = nttmod.ntt(spec, jnp.swapaxes(x, 1, 2))  # C-point NTT along j
+    def local(x, twi, *scales):
+        # x, twi: (n_limbs, R/n_dev, C) — this chip's rows
+        it = iter(scales)
+        if pre is not None:
+            x = limb.mont_mul(spec, x, next(it))
+        y = sub(spec, jnp.swapaxes(x, 1, 2))  # C-point NTTs along j
         y = jnp.swapaxes(y, 1, 2)
         y = limb.mont_mul(spec, y, twi)
         # transpose: split columns, gather rows -> (n_limbs, R, C/n_dev)
         y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1, tiled=True)
-        return nttmod.ntt(spec, y)  # R-point NTTs along i
+        y = sub(spec, y)  # R-point NTTs along i
+        if post is not None:
+            y = limb.mont_mul(spec, y, next(it))
+        return y
 
-    x = coeffs.reshape(spec.n_limbs, C, R)  # a[j*R + i] at [j, i]
+    x = coeffs.reshape(spec.n_limbs, n // n_dev, n_dev)  # a[j*R+i] at [j, i]
     x = jnp.swapaxes(x, 1, 2)  # X[i, j]
 
+    row_spec, col_spec = P(None, axis, None), P(None, None, axis)
+    row = NamedSharding(mesh, row_spec)
+    col = NamedSharding(mesh, col_spec)
+    args = [jax.device_put(x, row), jax.device_put(jnp.asarray(tw), row)]
+    specs = [row_spec, row_spec]
+    if pre is not None:
+        args.append(jax.device_put(jnp.asarray(pre), row))
+        specs.append(row_spec)
+    if post is not None:
+        args.append(jax.device_put(jnp.asarray(post), col))
+        specs.append(col_spec)
     fn = jax.jit(
         jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(None, axis, None), P(None, axis, None)),
-            out_specs=P(None, None, axis),
+            local, mesh=mesh, in_specs=tuple(specs), out_specs=col_spec
         )
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
-    tw_m = jax.device_put(tw_m, NamedSharding(mesh, P(None, axis, None)))
-    z = fn(x, tw_m)  # (n_limbs, R, C) with A[i'*C + j'] = Z[i', j']
+    z = fn(*args)  # (n_limbs, R, C) with A[i'*C + j'] = Z[i', j']
     return z.reshape(spec.n_limbs, n)
+
+
+def sharded_ntt(
+    spec: FieldSpec, mesh: Mesh, coeffs: jnp.ndarray, axis: str = "data"
+) -> jnp.ndarray:
+    return sharded_transform(spec, mesh, coeffs, axis=axis)
+
+
+def sharded_intt(
+    spec: FieldSpec, mesh: Mesh, evals: jnp.ndarray, axis: str = "data"
+) -> jnp.ndarray:
+    return sharded_transform(spec, mesh, evals, inverse=True, axis=axis)
+
+
+def sharded_coset_ntt(
+    spec: FieldSpec, mesh: Mesh, coeffs: jnp.ndarray, axis: str = "data"
+) -> jnp.ndarray:
+    return sharded_transform(spec, mesh, coeffs, coset=True, axis=axis)
+
+
+def sharded_coset_intt(
+    spec: FieldSpec, mesh: Mesh, evals: jnp.ndarray, axis: str = "data"
+) -> jnp.ndarray:
+    return sharded_transform(
+        spec, mesh, evals, inverse=True, coset=True, axis=axis
+    )

@@ -45,7 +45,14 @@ def build(g16, params, chain, witness=None, digest=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=64)
+    ap.add_argument(
+        "--tag", type=str, default="",
+        help="metric suffix, e.g. 'coldcache' for a fresh-process run "
+        "against the populated persistent compile cache (VERDICT r3 "
+        "item 6: the warm-start story)",
+    )
     args = ap.parse_args()
+    tag = f"_{args.tag}" if args.tag else ""
     print("platform:", jax.devices()[0].platform, flush=True)
 
     g16 = Groth16(refpair.BN254, backend="device")
@@ -75,7 +82,7 @@ def main():
 
     t0 = time.perf_counter()
     pk = g16.compile(setup_cs, RNG)
-    rec(f"groth16_setup_c{nc}", time.perf_counter() - t0, {"constraints": nc})
+    rec(f"groth16_setup_c{nc}{tag}", time.perf_counter() - t0, {"constraints": nc})
 
     # witness synthesis: native tape replay (no Python gadget re-trace);
     # the calculator itself is built once per circuit alongside the pk
@@ -87,7 +94,7 @@ def main():
     t0 = time.perf_counter()
     proof = g16.prove_assigned(pk, z, RNG)
     rec(
-        f"groth16_prove_c{nc}", time.perf_counter() - t0,
+        f"groth16_prove_c{nc}{tag}", time.perf_counter() - t0,
         {"constraints": nc, "witness_synthesis_ms": round(t_wit * 1e3, 1)},
     )
 
@@ -99,20 +106,20 @@ def main():
     z = calc.evaluate([digest], witness)
     proof = g16.prove_assigned(pk, z, RNG)
     rec(
-        f"groth16_prove_warm_c{nc}", time.perf_counter() - t0,
+        f"groth16_prove_warm_c{nc}{tag}", time.perf_counter() - t0,
         {"constraints": nc},
     )
 
     t0 = time.perf_counter()
     inputs = InputBuilder(p).extend_field(digest).build()
     ok = g16.verify(pk.vk, inputs, proof)
-    rec(f"groth16_verify_c{nc}", time.perf_counter() - t0, {"ok": bool(ok)})
+    rec(f"groth16_verify_c{nc}{tag}", time.perf_counter() - t0, {"ok": bool(ok)})
     assert ok, "proof did not verify"
     bad = g16.verify(pk.vk, [(digest + 1) % p], proof)
     assert not bad, "fuzzed input accepted"
     print("verify OK, fuzzed input rejected", flush=True)
 
-    out = pathlib.Path(__file__).parent.parent / "SCALE_r03.json"
+    out = pathlib.Path(__file__).parent.parent / "SCALE_r04.json"
     prior = json.loads(out.read_text()) if out.exists() else []
     seen = {r["metric"] for r in results}
     merged = [r for r in prior if r["metric"] not in seen] + results

@@ -1,32 +1,41 @@
 #!/bin/bash
 # Serial TPU job queue (ONE JAX process at a time — the axon tunnel wedges
-# under concurrent processes). Each phase logs to its own file; a phase
-# failure does not stop later phases. Round-3 artifacts: SCALE_r03.json,
-# HEAVY_r03.log.
+# under concurrent processes). Replaces the round-3 run_tpu_queue{,2}.sh
+# accretion with one parameterized runner (VERDICT r3 item 10).
+#
+# Usage: tools/run_tpu_queue.sh [phase ...]     (default: scale groth16)
+# Phases:
+#   scale      NTT 2^18-22 + MSM G1 2^16-20 + MSM G2 2^16/18 + Merkle
+#   groth16    Poseidon-chain c~=2^14 setup/prove/verify (+warm)
+#   groth16_1m Poseidon-chain c~=2^20 (the fused 5-MSM design point)
+#   coldcache  fresh-process groth16 c~=2^17 against the populated
+#              compile cache (the warm-start story)
+#   drive      consolidated verify drive, all phases
+#   roofline   per-kernel roofline audit
 set -u
-cd /root/repo
+cd "$(dirname "$0")/.."
 
-echo "=== phase 1: NTT + MSM + Merkle scale ===" | tee /tmp/queue_status.log
-timeout 7200 python tools/bench_scale.py \
-    > /tmp/bench_scale_r03.log 2>&1
-echo "bench_scale rc=$?" | tee -a /tmp/queue_status.log
+LOG=/tmp/queue_status.log
+: > "$LOG"
 
-echo "=== phase 2: Groth16 device bench 2^14 ===" | tee -a /tmp/queue_status.log
-timeout 3600 python tools/bench_groth16.py --chain 64 \
-    > /tmp/bench_groth16_c64.log 2>&1
-echo "bench_groth16 c64 rc=$?" | tee -a /tmp/queue_status.log
+run_phase() {
+    local name=$1; shift
+    echo "=== phase $name: $* ===" | tee -a "$LOG"
+    timeout "${PHASE_TIMEOUT:-7200}" "$@" > "/tmp/queue_${name}.log" 2>&1
+    echo "$name rc=$?" | tee -a "$LOG"
+}
 
-echo "=== phase 3: Groth16 device bench 2^17 ===" | tee -a /tmp/queue_status.log
-timeout 7200 python tools/bench_groth16.py --chain 560 \
-    > /tmp/bench_groth16_c560.log 2>&1
-echo "bench_groth16 c560 rc=$?" | tee -a /tmp/queue_status.log
-
-echo "=== phase 4: heavy suite on axon backend ===" | tee -a /tmp/queue_status.log
-OPENZL_TPU_TEST_BACKEND=axon timeout 10800 python -m pytest tests/ -m heavy \
-    -q -n 0 --no-header > HEAVY_r03.log 2>&1
-echo "heavy rc=$?" | tee -a /tmp/queue_status.log
-
-echo "=== phase 5: headline bench ===" | tee -a /tmp/queue_status.log
-timeout 1800 python bench.py > /tmp/bench_headline.log 2>&1
-echo "bench rc=$?" | tee -a /tmp/queue_status.log
-echo "=== queue done ===" | tee -a /tmp/queue_status.log
+for phase in "${@:-scale groth16}"; do
+  case "$phase" in
+    scale)      run_phase scale python tools/bench_scale.py ;;
+    groth16)    run_phase groth16 python tools/bench_groth16.py --chain 64 ;;
+    groth16_1m) PHASE_TIMEOUT=14400 run_phase groth16_1m \
+                    env OZL_PROFILE=1 python tools/bench_groth16.py --chain 4480 ;;
+    coldcache)  run_phase coldcache python tools/bench_groth16.py \
+                    --chain 560 --tag coldcache ;;
+    drive)      run_phase drive python tools/verify_drive_all.py all ;;
+    roofline)   run_phase roofline python tools/roofline_audit.py ;;
+    *) echo "unknown phase: $phase" | tee -a "$LOG" ;;
+  esac
+done
+echo "=== queue done ===" | tee -a "$LOG"
