@@ -252,3 +252,52 @@ class Reader:
 
     def vec(self, read_item) -> List:
         return [read_item() for _ in range(self.u64())]
+
+
+# ---------------------------------------------------------------------------
+# stream-backed variants + pipelining (reference codec.rs:322-439 IoReader/
+# IoWriter bridge arbitrary std::io streams into the codec traits; Pipeline
+# at codec.rs:465-546 chains reads/writes fluently)
+# ---------------------------------------------------------------------------
+
+
+class IoWriter(Writer):
+    """Writer over any binary stream (file, socket, BytesIO): encoded bytes
+    go straight to the stream instead of an owned buffer."""
+
+    def __init__(self, stream):
+        self.buf = stream
+
+    def getvalue(self) -> bytes:
+        raise TypeError("IoWriter streams its output; read the target instead")
+
+
+class IoReader(Reader):
+    """Reader pulling from any binary stream instead of an owned buffer."""
+
+    def __init__(self, stream):
+        self.buf = stream
+
+
+class Pipeline:
+    """Fluent chained encode/decode over one Reader or Writer.
+
+    Writer side:  Pipeline(w).write(lambda w: w.u64(3)).write(...).finish()
+    Reader side:  Pipeline(r).read(lambda r: r.u64()).read(...).finish()
+    returns the tuple of read values (write steps contribute nothing).
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+        self._out: List = []
+
+    def write(self, step) -> "Pipeline":
+        step(self.inner)
+        return self
+
+    def read(self, step) -> "Pipeline":
+        self._out.append(step(self.inner))
+        return self
+
+    def finish(self):
+        return tuple(self._out)

@@ -10,7 +10,7 @@ import pytest
 from openzl_tpu.curves import BLS12_381_G1, BLS12_381_G2, BN254_G1
 from openzl_tpu.crypto.merkle.tree import MerkleParameters, MerkleTree
 from openzl_tpu.fields import limb
-from openzl_tpu.fields.spec import BLS12_381_FQ, BN254_FR
+from openzl_tpu.fields.spec import BLS12_381_FQ, BLS12_381_FR, BN254_FR
 from openzl_tpu.ref import curve as refc
 from openzl_tpu.utils import checkpoint, codec
 
@@ -132,3 +132,39 @@ def test_bls12_381_generator_matches_public_encoding():
     if (y > spec.modulus - y) != y_is_lexicographically_largest:
         y = spec.modulus - y
     assert y == gy, "generator y mismatch vs public encoding"
+
+
+def test_io_reader_writer_streams():
+    """IoWriter/IoReader run the codec surface over arbitrary binary
+    streams (reference codec.rs:322-439 IoReader/IoWriter)."""
+    import io
+
+    from openzl_tpu.utils.codec import IoReader, IoWriter
+
+    spec = BLS12_381_FR
+    stream = io.BytesIO()
+    w = IoWriter(stream)
+    w.u64(7)
+    w.field(spec, 12345)
+    w.vec([1, 2, 3], lambda x: w.field(spec, x))
+    with pytest.raises(TypeError):
+        w.getvalue()  # streamed output lives in the target
+
+    stream.seek(0)
+    r = IoReader(stream)
+    assert r.u64() == 7
+    assert r.field(spec) == 12345
+    assert r.vec(lambda: r.field(spec)) == [1, 2, 3]
+
+
+def test_pipeline_chaining():
+    """Pipeline chains encode/decode steps fluently over one codec object
+    (reference codec.rs:465-546)."""
+    from openzl_tpu.utils.codec import Pipeline, Reader, Writer
+
+    spec = BLS12_381_FR
+    w = Writer()
+    Pipeline(w).write(lambda w: w.u64(2)).write(lambda w: w.field(spec, 99))
+    r = Reader(w.getvalue())
+    got = Pipeline(r).read(lambda r: r.u64()).read(lambda r: r.field(spec)).finish()
+    assert got == (2, 99)

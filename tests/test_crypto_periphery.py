@@ -234,3 +234,110 @@ def test_converted_scheme_roundtrip():
     ct = scheme.encrypt(key, [], msg)
     assert scheme.decrypt(key, ct) == msg
     assert scheme.decrypt(b"\x08" * 24, ct) is None
+
+
+# ---------------------------------------------------------------------------
+# message container algebra (reference encryption/mod.rs:246-760: Message,
+# EncryptedMessage methods, UnsafeOutput/UnsafeNoEncrypt, test::correctness)
+# ---------------------------------------------------------------------------
+
+
+def test_message_container_algebra():
+    from openzl_tpu.crypto.encryption import (
+        EncryptedMessage,
+        Message,
+        correctness,
+    )
+    from openzl_tpu.utils.codec import Reader, Writer
+
+    cipher = PoseidonAEAD(SPEC, n_blocks=2)
+    key = rand_elems(2)
+    header = tuple(rand_elems(2))
+    pt = tuple(rand_elems(4))
+
+    # Message::encrypt -> EncryptedMessage::decrypt round trip
+    msg = Message(plaintext=pt, header=header)
+    enc = msg.encrypt(cipher, key)
+    assert isinstance(enc, EncryptedMessage)
+    assert enc.decrypt(cipher, key) == list(pt)
+    assert enc.decrypt(cipher, rand_elems(2)) is None
+
+    # into(): header/ciphertext conversion preserves the tag
+    shifted = enc.into(convert_ciphertext=lambda c: [x for x in c])
+    assert shifted.tag == enc.tag and shifted.ciphertext == enc.ciphertext
+
+    # Input impl: header + ciphertext + tag into the public-input builder
+    from openzl_tpu.crypto.constraint import InputBuilder
+
+    built = enc.extend_input(InputBuilder(SPEC.modulus)).build()
+    assert built == list(header) + list(enc.ciphertext) + [enc.tag]
+
+    # Encode impl: codec round trip
+    w = Writer()
+    enc.encode(w, SPEC)
+    r = Reader(w.getvalue())
+    assert [r.field(SPEC) for _ in range(len(header))] == list(header)
+    assert [r.field(SPEC) for _ in range(len(enc.ciphertext))] == list(
+        enc.ciphertext
+    )
+    assert r.field(SPEC) == enc.tag
+
+    # reusable correctness helper (deterministic + randomized schemes)
+    correctness(cipher, key, key, header, pt)
+    dh = DiffieHellman(CurveGroup(BN254_G1))
+    hybrid = Hybrid(dh, PoseidonAEAD(SPEC, n_blocks=2))
+    sk = dh.generate_secret(RNG)
+    correctness(
+        hybrid, dh.derive(sk), sk, (), pt,
+        randomness=dh.generate_secret(RNG),
+        assert_same=lambda got, want: got == list(want),
+    )
+
+
+def test_encrypted_message_equality_in_circuit():
+    """EncryptedMessage eq/assert_equal run under any compiler
+    (mod.rs:635-658); the R1CS form must be satisfiable for equal
+    messages and the native eq must detect inequality."""
+    from openzl_tpu.crypto.encryption import EncryptedMessage
+
+    vals = rand_elems(3)
+
+    def lift(com):
+        return EncryptedMessage(
+            tag=com.secret_witness(vals[0]),
+            ciphertext=(com.secret_witness(vals[1]),),
+            header=(com.secret_witness(vals[2]),),
+        )
+
+    com = R1CSCompiler.for_proofs(SPEC)
+    a, b = lift(com), lift(com)
+    a.assert_equal(b, com)
+    assert com.cs.is_satisfied()
+
+    ncom = NativeCompiler(SPEC)
+    na = EncryptedMessage(tag=vals[0], ciphertext=(vals[1],), header=(vals[2],))
+    nb = EncryptedMessage(
+        tag=vals[0], ciphertext=((vals[1] + 1) % SPEC.modulus,), header=(vals[2],)
+    )
+    assert na.eq(na, ncom)
+    assert not na.eq(nb, ncom)
+
+
+def test_unsafe_no_encrypt():
+    """UnsafeNoEncrypt returns the phantom UnsafeOutput: compares equal,
+    encodes to nothing, extends no input (mod.rs:320-487)."""
+    from openzl_tpu.crypto.encryption import UnsafeNoEncrypt, UnsafeOutput
+    from openzl_tpu.crypto.constraint import InputBuilder
+    from openzl_tpu.utils.codec import Writer
+
+    scheme = UnsafeNoEncrypt(PoseidonAEAD(SPEC, n_blocks=1))
+    out = scheme.encrypt(rand_elems(2), (), rand_elems(2))
+    assert isinstance(out, UnsafeOutput)
+    assert out == UnsafeOutput()
+    ncom = NativeCompiler(SPEC)
+    assert out.eq(UnsafeOutput(), ncom)
+    out.assert_equal(UnsafeOutput(), ncom)
+    w = Writer()
+    out.encode(w, SPEC)
+    assert w.getvalue() == b""
+    assert out.extend_input(InputBuilder(SPEC.modulus)).build() == []
