@@ -6,5 +6,6 @@ TPU-native R1CS compiler, NTT, and MSM kernels.
 """
 
 from .groth16 import Groth16, Proof, ProvingKey, VerifyingKey
+from .kzg import KZG, KZGParams
 
-__all__ = ["Groth16", "Proof", "ProvingKey", "VerifyingKey"]
+__all__ = ["Groth16", "KZG", "KZGParams", "Proof", "ProvingKey", "VerifyingKey"]

@@ -1,0 +1,106 @@
+"""KZG polynomial commitments: commit/open/verify round trips, batched
+openings, params serialization, and the heavy device-MSM commit path
+(the reference's poly-commit feature — plugins/arkworks/Cargo.toml:139-140)."""
+
+import random
+
+import pytest
+
+from openzl_tpu.proof_systems import KZG, KZGParams
+from openzl_tpu.ref import pairing as refpair
+
+RNG = random.Random(0x6B7A67)
+
+
+def _poly(r, deg):
+    return [RNG.randrange(r) for _ in range(deg + 1)]
+
+
+@pytest.fixture(scope="module")
+def kzg_host():
+    k = KZG(refpair.BN254, backend="host")
+    params = k.setup(16, RNG)
+    return k, params
+
+
+def test_kzg_open_verify_roundtrip(kzg_host):
+    k, params = kzg_host
+    r = k.pairing.r
+    coeffs = _poly(r, 12)
+    C = k.commit(params, coeffs)
+    z = RNG.randrange(r)
+    v, w = k.open(params, coeffs, z)
+    # the claimed evaluation really is p(z)
+    want = 0
+    for c in reversed(coeffs):
+        want = (want * z + c) % r
+    assert v == want
+    assert k.verify(params, C, z, v, w)
+    # wrong value / wrong point / wrong witness all rejected
+    assert not k.verify(params, C, z, (v + 1) % r, w)
+    assert not k.verify(params, C, (z + 1) % r, v, w)
+    C2 = k.commit(params, _poly(r, 12))
+    assert not k.verify(params, C2, z, v, w)
+
+
+def test_kzg_constant_and_degree_bounds(kzg_host):
+    k, params = kzg_host
+    r = k.pairing.r
+    c0 = RNG.randrange(r)
+    C = k.commit(params, [c0])
+    v, w = k.open(params, [c0], 5)
+    assert v == c0 and w is None
+    assert k.verify(params, C, 5, v, w)
+    assert not k.verify(params, C, 5, (v + 1) % r, w)
+    with pytest.raises(AssertionError):
+        k.commit(params, _poly(r, params.max_degree + 1))
+
+
+def test_kzg_batch_verify(kzg_host):
+    k, params = kzg_host
+    r = k.pairing.r
+    z = RNG.randrange(r)
+    claims = []
+    for _ in range(3):
+        coeffs = _poly(r, 10)
+        C = k.commit(params, coeffs)
+        v, w = k.open(params, coeffs, z)
+        claims.append((C, z, v, w))
+    assert k.batch_verify(params, claims, RNG)
+    # corrupt one claimed value: the whole batch must fail
+    C, _, v, w = claims[1]
+    claims[1] = (C, z, (v + 1) % r, w)
+    assert not k.batch_verify(params, claims, RNG)
+
+
+def test_kzg_params_serialization(kzg_host):
+    k, params = kzg_host
+    r = k.pairing.r
+    blob = params.to_bytes()
+    params2 = KZGParams.from_bytes(k.pairing, blob)
+    assert params2.host and params2.max_degree == params.max_degree
+    coeffs = _poly(r, 8)
+    assert k.commit(params2, coeffs) == k.commit(params, coeffs)
+    lifted = k.device_params(params2)  # device lift (commit parity: heavy)
+    assert not lifted.host
+
+
+@pytest.mark.heavy
+def test_kzg_device_commit_at_scale():
+    """Device-backend commit/open on the TPU MSM pipeline at degree 511
+    (full-width scalars), cross-checked against the host oracle."""
+    k = KZG(refpair.BN254, backend="device")
+    params = k.setup(511, random.Random(3))
+    assert not params.host
+    kh = KZG(refpair.BN254, backend="host")
+    params_h = KZGParams.from_bytes(k.pairing, params.to_bytes())
+    r = k.pairing.r
+    coeffs = _poly(r, 511)
+    C = k.commit(params, coeffs)
+    assert C == kh.commit(params_h, coeffs)
+    z = RNG.randrange(r)
+    v, w = k.open(params, coeffs, z)
+    vh, wh = kh.open(params_h, coeffs, z)
+    assert (v, w) == (vh, wh)
+    assert k.verify(params, C, z, v, w)
+    assert not k.verify(params, C, z, (v + 1) % r, w)
