@@ -15,6 +15,8 @@ the axon tunnel):
            div_rem gadget in-circuit                 (was verify_drive4.py)
   msm      row-gather + multi-set MSM at 2^12 vs oracle
                                                      (was verify_drive_msm.py)
+  kzg      KZG commit/open on the device MSM path vs host oracle + verify
+  poly     DensePoly NTT product on-device vs host schoolbook
 
 Run: python tools/verify_drive_all.py [phase ...]   (default: core scan)
 First TPU compiles take minutes through the tunnel; the persistent compile
@@ -332,12 +334,60 @@ def phase_msm():
     print(f"msm.multi OK, wall {time.perf_counter()-t0:.1f}s", flush=True)
 
 
+def phase_kzg():
+    from openzl_tpu.proof_systems import KZG, KZGParams
+    from openzl_tpu.ref import pairing as refpair
+
+    RNG = random.Random(0x6B)
+    k = KZG(refpair.BN254, backend="device")
+    t0 = time.perf_counter()
+    params = k.setup(1023, random.Random(5))
+    print(f"kzg.setup(1023) wall {time.perf_counter()-t0:.1f}s", flush=True)
+    kh = KZG(refpair.BN254, backend="host")
+    params_h = KZGParams.from_bytes(k.pairing, params.to_bytes())
+    r = k.pairing.r
+    coeffs = [RNG.randrange(r) for _ in range(1024)]
+    t0 = time.perf_counter()
+    C = k.commit(params, coeffs)
+    print(f"kzg.commit wall {time.perf_counter()-t0:.1f}s", flush=True)
+    assert C == kh.commit(params_h, coeffs), "device commit != host"
+    z = RNG.randrange(r)
+    v, w = k.open(params, coeffs, z)
+    assert k.verify(params, C, z, v, w)
+    assert not k.verify(params, C, z, (v + 1) % r, w)
+    print("kzg OK", flush=True)
+
+
+def phase_poly():
+    from openzl_tpu.fields.spec import BLS12_381_FR
+    from openzl_tpu.ops import poly as polymod
+    from openzl_tpu.ops.poly import DensePoly
+
+    RNG = random.Random(0x907)
+    spec = BLS12_381_FR
+    a = DensePoly.rand(spec, 700, RNG)
+    b = DensePoly.rand(spec, 500, RNG)
+    t0 = time.perf_counter()
+    got = a * b  # 1201 coeffs >= _NTT_MUL_MIN -> device NTT product
+    print(f"poly.ntt_mul wall {time.perf_counter()-t0:.1f}s", flush=True)
+    saved = polymod._NTT_MUL_MIN
+    polymod._NTT_MUL_MIN = 1 << 30
+    try:
+        want = a * b  # host schoolbook
+    finally:
+        polymod._NTT_MUL_MIN = saved
+    assert got == want, "NTT product != schoolbook"
+    print("poly OK", flush=True)
+
+
 PHASES = {
     "core": phase_core,
     "kernels": phase_kernels,
     "scan": phase_scan,
     "witness": phase_witness,
     "msm": phase_msm,
+    "kzg": phase_kzg,
+    "poly": phase_poly,
 }
 
 
