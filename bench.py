@@ -11,8 +11,8 @@ The headline path is the Poseidon2 Pallas kernel
 (openzl_tpu/ops/poseidon2_kernel.py — S-box-only Montgomery multiplies,
 addition-only linear layers). Secondary numbers for the classic Poseidon
 permutation (naive + optimized sparse partial rounds) are recorded by
-tools/verify_drive2.py and docs/performance.md; classic remains the
-reference-conformance anchor (sage golden vectors).
+tools/verify_drive_all.py (kernels phase) and docs/performance.md; classic
+remains the reference-conformance anchor (sage golden vectors).
 
 Fallback chain if the kernel cannot compile on this backend: classic
 optimized kernel, then the jnp path.

@@ -14,8 +14,11 @@ Layer map (mirrors the reference's tiers, SURVEY.md section 1):
                                 in-circuit EC (ec_gadget), key agreement,
                                 algebra, password, constraint facade
   curves/ ops/              L0  batched Jacobian curve ops (G1/G2), MSM,
-                                NTT — the arkworks-equivalent math engines
-  proof_systems/            L2  Groth16 (compile / prove / verify)
+                                NTT, dense polynomial algebra — the
+                                arkworks-equivalent math engines
+  proof_systems/            L2  Groth16 (compile / prove / verify,
+                                mesh-parallel prove), KZG commitments,
+                                ratio proofs
   parallel/                 --  mesh + shard_map multi-chip kernels
   plugins/                  --  ed25519 (plugins/dalek equivalent)
   ref/                      --  pure-Python oracles (test/verify path)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..fields import limb
 from ..fields.spec import FieldSpec
+from .ntt import _use_kernel
 from .scan_utils import segmented_scan
 
 
@@ -127,7 +128,16 @@ def _matvec_jit(
     vals: jnp.ndarray,
     z: jnp.ndarray,
 ) -> jnp.ndarray:
-    terms = limb.mont_mul(spec, vals, z[:, cols])  # (n, nnz)
+    gathered = z[:, cols]  # (n, nnz)
+    if _use_kernel():
+        # fused-VMEM Montgomery product: the XLA limb path materializes
+        # O(n_limbs^2 * nnz) partial-product temps, which at nnz = 2^23
+        # (the 2^20-constraint prover) alone exceeds the 16 GB chip HBM
+        from . import ntt_kernel
+
+        terms = ntt_kernel.mont_mul(spec, vals, gathered)
+    else:
+        terms = limb.mont_mul(spec, vals, gathered)
 
     prev = jnp.concatenate([jnp.full((1,), -1, rows.dtype), rows[:-1]])
     starts = rows != prev
