@@ -41,7 +41,8 @@ class Radix2Domain:
 
     @classmethod
     def new(cls, spec: FieldSpec, min_size: int) -> "Radix2Domain":
-        log_n = max(1, (min_size - 1).bit_length())
+        assert min_size >= 1, "domain must be non-empty"
+        log_n = (min_size - 1).bit_length()  # size 1 -> log_n 0 (ark parity)
         assert log_n <= nttmod.two_adicity(spec), "field two-adicity exceeded"
         return cls(spec, log_n)
 
@@ -98,16 +99,29 @@ class Radix2Domain:
     def _unpack(self, x) -> List[int]:
         return [int(v) for v in limb.unpack_mont(self.spec, np.asarray(x))]
 
+    def _values(self, values: Sequence[int]) -> List[int]:
+        p = self.spec.modulus
+        vals = [v % p for v in values] + [0] * (self.size - len(values))
+        return vals
+
     def fft(self, coeffs: Sequence[int]) -> List[int]:
+        if self.log_n == 0:  # size-1 domain: the transform is the identity
+            return self._values(coeffs)
         return self._unpack(nttmod.ntt(self.spec, self._pack(coeffs)))
 
     def ifft(self, evals: Sequence[int]) -> List[int]:
+        if self.log_n == 0:
+            return self._values(evals)
         return self._unpack(nttmod.intt(self.spec, self._pack(evals)))
 
     def coset_fft(self, coeffs: Sequence[int]) -> List[int]:
+        if self.log_n == 0:  # size-1 coset {g}: p is constant, p(g) = c0
+            return self._values(coeffs)
         return self._unpack(nttmod.coset_ntt(self.spec, self._pack(coeffs)))
 
     def coset_ifft(self, evals: Sequence[int]) -> List[int]:
+        if self.log_n == 0:
+            return self._values(evals)
         return self._unpack(nttmod.coset_intt(self.spec, self._pack(evals)))
 
 

@@ -150,20 +150,26 @@ class ProvingKey:
 
     @classmethod
     def from_bytes(
-        cls, pairing: PairingSpec, data: bytes, compressed: bool = False
+        cls,
+        pairing: PairingSpec,
+        data: bytes,
+        compressed: bool = False,
+        validate: bool = True,
     ) -> "ProvingKey":
         """Deserialize into HOST form (affine int queries, host=True).
         Lift onto the device with :meth:`Groth16.device_key` before
-        kernel proving."""
+        kernel proving. `validate` enforces subgroup membership on every
+        point (ark Validate::Yes; pass False for trusted keys — the
+        per-point order-mul check is O(bits) host EC ops each)."""
         from ..utils import codec
 
         g1, g2 = pairing.g1, pairing.g2
         r = codec.Reader(data)
         vk = VerifyingKey.from_bytes(pairing, r.bytes_(r.u64()))
-        beta_g1 = r.point(g1, compressed)
-        delta_g1 = r.point(g1, compressed)
+        beta_g1 = r.point(g1, compressed, validate)
+        delta_g1 = r.point(g1, compressed, validate)
         queries = [
-            r.vec(lambda c=curve: r.point(c, compressed))
+            r.vec(lambda c=curve: r.point(c, compressed, validate))
             for curve in (g1, g1, g2, g1, g1)
         ]
         return cls(
@@ -612,16 +618,22 @@ class Groth16:
     def prove_assigned(
         self,
         pk: ProvingKey,
-        z: Sequence[int],
+        z,
         rng,
         prepared: Optional[PreparedCircuit] = None,
         mesh=None,
     ) -> Proof:
         """Prove from a precomputed full assignment (WitnessCalculator
-        output). Requires device-resident matrices: pass `prepared` or use a
-        ProvingKey produced by the device backend (pk.prepared)."""
+        output). `z` is either a sequence of Python ints or — the fast
+        path — the planar (n_limbs, num_vars) uint32 canonical limb array
+        from :meth:`WitnessCalculator.evaluate_limbs`, which skips every
+        host bigint conversion (Montgomery lift runs on device). Requires
+        device-resident matrices: pass `prepared` or use a ProvingKey
+        produced by the device backend (pk.prepared)."""
+        if not isinstance(z, np.ndarray):
+            z = list(z)
         return self._prove_z(
-            pk, list(z), rng, prepared, prof=_Prof("prove"), mesh=mesh
+            pk, z, rng, prepared, prof=_Prof("prove"), mesh=mesh
         )
 
     def _prove_z(
@@ -637,14 +649,20 @@ class Groth16:
         p = self.fr.modulus
         g1, g2 = self.pairing.g1, self.pairing.g2
         prof = prof or _Prof("prove")
-        num_vars = len(z)
+        limbform = isinstance(z, np.ndarray)
+        num_vars = z.shape[1] if limbform else len(z)
         ni = pk.num_instance_total
         log_n = pk.domain_log2
         n = 1 << log_n
         fr = self.fr
+        z_can = None  # device-resident canonical limbs (limb fast path)
 
         # H(x) evaluations: u/v/w = (A z, B z, C z) on the domain
         if pk.host:
+            assert not limbform, (
+                "limb-form assignments need the device backend; use "
+                "device_key first or pass a Python-int assignment"
+            )
             assert cs is not None, (
                 "host-backend proving needs the circuit; use prove(pk, cs, "
                 "rng) or a device-backend ProvingKey with prove_assigned"
@@ -664,7 +682,15 @@ class Groth16:
                     "`prepared` (Groth16.prepare) to prove_assigned"
                 )
                 prepared = self.prepare(cs)
-            z_mont = jnp.asarray(limb.pack_mont(fr, np.array(z, dtype=object)))
+            if limbform:
+                # one u32 transfer; Montgomery lift runs ON DEVICE (a single
+                # mont_mul by R^2) — no host bigint loop anywhere
+                z_can = jnp.asarray(z)
+                z_mont = limb.to_mont(fr, z_can)
+            else:
+                z_mont = jnp.asarray(
+                    limb.pack_mont(fr, np.array(z, dtype=object))
+                )
             prof.lap("pack_witness")
             ua = prepared.a.matvec(z_mont)
             va = prepared.b.matvec(z_mont)
@@ -720,7 +746,12 @@ class Groth16:
             h_msm = refc.msm(g1, h_ints, pk.h_query)
             l_msm = refc.msm(g1, z[ni:], pk.l_query) if z[ni:] else None
         else:
-            z_limbs = jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
+            z_limbs = (
+                z_can
+                if z_can is not None
+                else jnp.asarray(limb.pack(fr, np.array(z, dtype=object)))
+            )
+            prof.lap("msm_pack")
             if mesh is not None:
                 stacked, b2_j = self._prove_msms_sharded(
                     mesh, ni, z_limbs, h_canon, pk
@@ -731,6 +762,12 @@ class Groth16:
                     pk.a_query, pk.b_g1_query, pk.b_g2_query, pk.h_query,
                     pk.l_query,
                 )
+            if prof.enabled:
+                # tiny readback fences the kernel graph so the lap split
+                # (dispatch+kernels vs affine readback) is honest through
+                # the relay (block_until_ready does not reliably fence)
+                np.asarray(b2_j.z)
+                prof.lap("msm_kernels")
             g1_pts = jac.to_affine_ints(g1, stacked)  # one batched inversion
             b2_msm = jac.to_affine_ints(g2, b2_j)
             a_msm, b1_msm, h_msm = g1_pts[0], g1_pts[1], g1_pts[2]

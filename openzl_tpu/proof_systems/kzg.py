@@ -67,13 +67,19 @@ class KZGParams:
 
     @classmethod
     def from_bytes(
-        cls, pairing: PairingSpec, data: bytes, compressed: bool = False
+        cls,
+        pairing: PairingSpec,
+        data: bytes,
+        compressed: bool = False,
+        validate: bool = True,
     ) -> "KZGParams":
+        """`validate` enforces subgroup membership per point (ark
+        Validate::Yes); pass False for trusted parameter files."""
         from ..utils import codec
 
         g1, g2 = pairing.g1, pairing.g2
         r = codec.Reader(data)
-        pts = r.vec(lambda: r.point(g1, compressed))
+        pts = r.vec(lambda: r.point(g1, compressed, validate))
         return cls(
             pairing=pairing,
             powers_g1=pts,
@@ -180,6 +186,8 @@ class KZG:
         r = self.pairing.r
         z = z % r
         cs = [c % r for c in coeffs]
+        if not cs:  # zero polynomial: p(z) = 0, identity witness
+            return 0, None
         q: List[int] = [0] * (len(cs) - 1)
         acc = cs[-1]
         for i in range(len(cs) - 2, -1, -1):
@@ -209,13 +217,18 @@ class KZG:
         shifted = refc.add(
             g2, params.tau_g2, refc.scalar_mul(g2, (-z) % r, params.g2_gen)
         )
-        if proof is None:  # constant poly: holds iff C == v*G1
+        if proof is None:
+            # identity witness (constant poly, or q(tau) == 0 — the MSM
+            # oracles encode the identity as None): e(C - vG, H) == 1 iff
+            # C - vG is the identity, by pairing non-degeneracy
             return lhs is None
         if lhs is None:
-            # p(tau) happens to equal v: pairing product needs a real point;
-            # check degenerates to e(-W, [tau-z]H) == 1, i.e. W == identity
-            # or tau == z (which setup keeps secret — treat as W == identity)
-            return False
+            # p(tau) == v with a NON-identity witness: the lhs pairing is
+            # trivially 1, so the equation holds only if the rhs pairing
+            # degenerates too — [tau - z]H identity, i.e. tau == z (which
+            # setup keeps secret). The honest opening with q(tau) == 0
+            # takes the proof-is-None branch above.
+            return shifted is None
         return refpair.pairing_product_is_one(
             self.pairing,
             [(lhs, params.g2_gen), (refc.neg(g1, proof), shifted)],

@@ -134,11 +134,45 @@ def point_size(curve: CurveSpec, compressed: bool = True) -> int:
     return nb if compressed else 2 * nb
 
 
-def point_from_bytes(curve: CurveSpec, data: bytes, compressed: bool = True):
+def subgroup_check(curve: CurveSpec, pt) -> bool:
+    """Prime-order subgroup membership: r * P == identity.
+
+    ark's CanonicalDeserialize validates subgroup membership by default
+    (Validate::Yes); curves with cofactor 1 need only the on-curve check
+    (the whole curve IS the prime-order group). Raw double-and-add —
+    ref.curve.scalar_mul reduces its scalar mod r, which would make the
+    order multiplication vacuous."""
+    if pt is None or curve.cofactor == 1:
+        return True
+    from ..ref import curve as refc
+
+    k = curve.scalar.modulus  # the prime subgroup order r
+    acc, base = None, pt
+    while k:
+        if k & 1:
+            acc = refc.add(curve, acc, base)
+        k >>= 1
+        if k:
+            base = refc.add(curve, base, base)
+    return acc is None
+
+
+def point_from_bytes(
+    curve: CurveSpec, data: bytes, compressed: bool = True, validate: bool = True
+):
     """Point decoding with on-curve check. Compressed recovers y from an
     Fq (or Fq2) square root; uncompressed reads both coordinates and
     validates the curve equation (ark deserialize_uncompressed still
-    checks)."""
+    checks). `validate` additionally enforces prime-order subgroup
+    membership (ark Validate::Yes); pass False only for trusted inputs
+    (ark's deserialize_unchecked analogue)."""
+    pt = _point_from_bytes_on_curve(curve, data, compressed)
+    if validate and not subgroup_check(curve, pt):
+        raise DecodeError("point not in the prime-order subgroup")
+    return pt
+
+
+def _point_from_bytes_on_curve(curve: CurveSpec, data: bytes, compressed: bool):
     spec = curve.base
     if not compressed:
         nb = spec.n_bytes * curve.ext
@@ -289,9 +323,9 @@ class Reader:
     def field(self, spec: FieldSpec) -> int:
         return field_from_bytes(spec, self.bytes_(spec.n_bytes))
 
-    def point(self, curve: CurveSpec, compressed: bool = True):
+    def point(self, curve: CurveSpec, compressed: bool = True, validate: bool = True):
         return point_from_bytes(
-            curve, self.bytes_(point_size(curve, compressed)), compressed
+            curve, self.bytes_(point_size(curve, compressed)), compressed, validate
         )
 
     def vec(self, read_item) -> List:

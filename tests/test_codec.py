@@ -136,6 +136,49 @@ def test_decode_errors_are_typed():
     assert saw_reject, "no off-curve x rejected"
 
 
+def test_non_subgroup_point_rejected():
+    """On-curve points OUTSIDE the prime-order subgroup must be rejected by
+    default (ark Validate::Yes semantics; ADVICE r4 medium finding — the
+    curve-equation check alone admits cofactor components into pairings).
+    A random x on BLS12-381 (cofactor ~ 2^125) is in the r-subgroup with
+    negligible probability."""
+    curve = BLS12_381_G1
+    p = curve.base.modulus
+    x = 7
+    while True:
+        y2 = (x * x * x + curve.b) % p
+        y = codec._sqrt_mod(curve.base, y2)
+        if y is not None:
+            break
+        x += 1
+    pt = (x, y)
+    assert refc.is_on_curve(curve, pt)
+    assert not codec.subgroup_check(curve, pt)
+    blob = codec.point_to_bytes(curve, pt)
+    with pytest.raises(codec.DecodeError):
+        codec.point_from_bytes(curve, blob)
+    # unchecked decode (ark deserialize_unchecked analogue) still works
+    assert codec.point_from_bytes(curve, blob, validate=False) == pt
+    # clearing the cofactor lands in the subgroup and decodes cleanly
+    cleared = _raw_mul(curve, curve.cofactor, pt)
+    blob2 = codec.point_to_bytes(curve, cleared)
+    assert codec.point_from_bytes(curve, blob2) == cleared
+    # cofactor-1 curves (BN254 G1): every on-curve point passes
+    assert codec.subgroup_check(BN254_G1, refc.generator(BN254_G1))
+
+
+def _raw_mul(curve, k, pt):
+    """Double-and-add WITHOUT the mod-r reduction of refc.scalar_mul."""
+    acc, base = None, pt
+    while k:
+        if k & 1:
+            acc = refc.add(curve, acc, base)
+        k >>= 1
+        if k:
+            base = refc.add(curve, base, base)
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # external interop fixture: the standard zcash-format BLS12-381 G1 generator
 # ---------------------------------------------------------------------------

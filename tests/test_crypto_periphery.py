@@ -118,6 +118,31 @@ def test_schnorr_sign_verify():
     assert not sch.verify(sch.derive(sch.generate_key(RNG)), msg, sig)
 
 
+def test_signature_converter_adapter():
+    """Message-converting signature adapter (reference
+    openzl-crypto/src/signature/convert.rs:26-80): structured messages are
+    converted by `Forward::as_target` before sign/verify; keys and
+    signatures pass through the base scheme unchanged."""
+    from openzl_tpu.crypto.signature.convert import Converter
+
+    base = Schnorr(CurveGroup(BN254_G1))
+    p = BN254_FR.modulus
+
+    def forward(msg_dict):  # structured message -> field-element list
+        return [msg_dict["a"] % p, msg_dict["b"] % p, msg_dict["nonce"] % p]
+
+    sch = Converter(base, forward)
+    assert sch.into_inner() is base
+    sk = sch.generate_key(RNG)
+    vk = sch.derive(sk)
+    msg = {"a": 7, "b": 11, "nonce": 13}
+    sig = sch.sign(sk, sch.generate_key(RNG), msg)
+    assert sch.verify(vk, msg, sig)
+    assert not sch.verify(vk, {"a": 7, "b": 11, "nonce": 14}, sig)
+    # the adapter signs exactly what the base scheme would over the target
+    assert base.verify(vk, forward(msg), sig)
+
+
 def test_ed25519_rfc8032_vector():
     """RFC 8032 test vector 1 (empty message)."""
     seed = bytes.fromhex(

@@ -158,3 +158,12 @@ def test_groth16_device_backend_e2e():
     assert z == prove_cs.assignment()
     proof2 = g16.prove_assigned(pk, z, RNG)
     assert g16.verify(pk.vk, inputs, proof2)
+
+    # limb-form fast path (no host bigints anywhere): bit-exact vs the
+    # int-assignment prove under the same randomness
+    import random as _r
+
+    z_limbs = calc.evaluate_limbs([digest], pre)
+    proof_a = g16.prove_assigned(pk, z, _r.Random(77))
+    proof_b = g16.prove_assigned(pk, z_limbs, _r.Random(77))
+    assert proof_b.to_bytes(g16.pairing) == proof_a.to_bytes(g16.pairing)

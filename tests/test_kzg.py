@@ -56,6 +56,53 @@ def test_kzg_constant_and_degree_bounds(kzg_host):
         k.commit(params, _poly(r, params.max_degree + 1))
 
 
+def test_kzg_zero_polynomial(kzg_host):
+    """Empty coefficient list = zero polynomial: open must not IndexError
+    (ADVICE r4 low) and the identity commitment verifies v = 0."""
+    k, params = kzg_host
+    v, w = k.open(params, [], 11)
+    assert v == 0 and w is None
+    C = k.commit(params, [])
+    assert C is None
+    assert k.verify(params, C, 11, 0, None)
+    assert not k.verify(params, C, 11, 1, None)
+
+
+class _FixedTau:
+    """rng stub handing setup a KNOWN tau (test-only toxic waste)."""
+
+    def __init__(self, tau):
+        self.tau = tau
+
+    def randrange(self, *a):
+        return self.tau
+
+
+def test_kzg_identity_lhs_degenerate_openings():
+    """p(tau) == v edge cases (ADVICE r4 low): the honest opening where
+    both C - vG and the witness are the identity must ACCEPT; a real
+    (non-identity) witness against an identity lhs must reject."""
+    k = KZG(refpair.BN254, backend="host")
+    r = k.pairing.r
+    tau = 0x1234567
+    params = k.setup(8, _FixedTau(tau))
+    z, c = 5, 99
+    # p(x) = (x - z)(x - tau) + c: p(z) = c = p(tau), q = (x - tau)
+    coeffs = [
+        (z * tau + c) % r,
+        (-(z + tau)) % r,
+        1,
+    ]
+    C = k.commit(params, coeffs)  # [p(tau)]G = [c]G, so C - vG is identity
+    v, w = k.open(params, coeffs, z)
+    assert v == c
+    assert w is None  # q(tau) = 0 -> identity witness
+    assert k.verify(params, C, z, v, w)
+    # same claim with a REAL witness point must reject (lhs identity, rhs not)
+    fake_w = k.commit(params, [0, 1])  # [tau]G, a non-identity point
+    assert not k.verify(params, C, z, v, fake_w)
+
+
 def test_kzg_batch_verify(kzg_host):
     k, params = kzg_host
     r = k.pairing.r

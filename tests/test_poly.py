@@ -70,6 +70,26 @@ def test_poly_vanishing_division(spec):
     assert dom.evaluate_vanishing(z) == z_h.evaluate(z)
 
 
+def test_domain_size_one(spec):
+    """ark-poly's Radix2EvaluationDomain supports size 1; the domain is
+    {1}, all transforms are the identity (ADVICE r4 low — `new` used to
+    force log_n >= 1)."""
+    dom = Radix2Domain.new(spec, 1)
+    assert dom.size == 1 and dom.log_n == 0
+    assert dom.group_gen == 1
+    assert dom.elements() == [1]
+    z = RNG.randrange(spec.modulus)
+    assert dom.evaluate_vanishing(z) == (z - 1) % spec.modulus
+    assert dom.lagrange_coeffs(z) == [1]  # L_0 = 1 everywhere
+    c = RNG.randrange(spec.modulus)
+    assert dom.fft([c]) == [c]
+    assert dom.ifft([c]) == [c]
+    assert dom.coset_fft([c]) == [c]
+    assert dom.coset_ifft([c]) == [c]
+    a = DensePoly(spec, [c])
+    assert DensePoly.from_evals(dom, dom.fft(a.coeffs)) == a
+
+
 def test_domain_fft_interpolation(spec):
     dom = Radix2Domain.new(spec, 16)
     assert dom.size == 16

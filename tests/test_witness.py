@@ -93,6 +93,34 @@ def test_native_divmod_and_inv_edge_cases():
         assert (q % p) in z and (r % p) in z
 
 
+def test_evaluate_limbs_matches_int_assignment(pos_params):
+    """evaluate_limbs (the bytes->u16-view prove input) must equal the
+    packed int assignment exactly."""
+    if not native.available():
+        pytest.skip("native library not built")
+    import numpy as np
+
+    from openzl_tpu.fields import limb as limbmod
+
+    p = BN254_FR.modulus
+
+    def build(com, vals=None):
+        a = com.secret_witness(None if vals is None else vals[0])
+        b = com.secret_witness(None if vals is None else vals[1])
+        h = poseidon_gadget.hash(com, pos_params, [a, b])
+        com.inv(com.add_const(h, 3))
+        return com
+
+    setup = build(R1CSCompiler.for_contexts(BN254_FR))
+    calc = WitnessCalculator(setup.cs)
+    leaves = [RNG.randrange(p) for _ in range(2)]
+    z_int = calc.evaluate([], leaves)
+    got = calc.evaluate_limbs([], leaves)
+    want = limbmod.pack(BN254_FR, np.array(z_int, dtype=object))
+    assert got.dtype == np.uint32 and got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
 def test_native_zero_inverse_raises():
     if not native.available():
         pytest.skip("native library not built")

@@ -3,7 +3,7 @@ constraints, setup/prove/verify wall-clock on the real TPU.
 
 Circuit: h_{i+1} = Poseidon(h_i, w_i) over `chain` links; public input is
 the final digest (preimage-knowledge of the whole chain). Emits one JSON
-line per phase and appends to SCALE_r03.json if present.
+line per phase and appends to SCALE_r05.json if present.
 
 Run: python tools/bench_groth16.py [--chain 64]
 """
@@ -88,7 +88,7 @@ def main():
     # the calculator itself is built once per circuit alongside the pk
     calc = g16.witness_calculator(setup_cs)
     t0 = time.perf_counter()
-    z = calc.evaluate([digest], witness)
+    z = calc.evaluate_limbs([digest], witness)
     t_wit = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -103,7 +103,7 @@ def main():
     # the proof is re-randomized and re-verified below). Includes a fresh
     # witness synthesis, as a prover service would per request.
     t0 = time.perf_counter()
-    z = calc.evaluate([digest], witness)
+    z = calc.evaluate_limbs([digest], witness)
     proof = g16.prove_assigned(pk, z, RNG)
     rec(
         f"groth16_prove_warm_c{nc}{tag}", time.perf_counter() - t0,
@@ -119,7 +119,7 @@ def main():
     assert not bad, "fuzzed input accepted"
     print("verify OK, fuzzed input rejected", flush=True)
 
-    out = pathlib.Path(__file__).parent.parent / "SCALE_r04.json"
+    out = pathlib.Path(__file__).parent.parent / "SCALE_r05.json"
     prior = json.loads(out.read_text()) if out.exists() else []
     seen = {r["metric"] for r in results}
     merged = [r for r in prior if r["metric"] not in seen] + results

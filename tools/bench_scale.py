@@ -40,7 +40,7 @@ from openzl_tpu.ref import curve as refc
 RESULTS = []
 
 
-OUT = pathlib.Path(__file__).parent.parent / "SCALE_r04.json"
+OUT = pathlib.Path(__file__).parent.parent / "SCALE_r05.json"
 
 
 def record(metric, value, unit, extra=None):
