@@ -136,14 +136,17 @@ def _pallas_ec(curve: CurveSpec) -> bool:
 
 @functools.partial(jax.jit, static_argnums=0)
 def double(curve: CurveSpec, P: JPoint) -> JPoint:
-    """dbl-2009-l (a=0). Handles identity for free (Z3 = 2YZ = 0)."""
+    """dbl-2009-l for a = 0; the generic-a Jacobian double (M = 3X^2 +
+    a Z^4) for every other short-Weierstrass config (the MNT-family curve
+    shapes the reference ships — plugins/arkworks/Cargo.toml:60-67 — have
+    a != 0). Both handle identity for free (Z3 = 2YZ = 0)."""
     if _pallas_ec(curve):
         from ..ops import ec_kernel
 
         return JPoint(
             *ec_kernel.ec_op(
                 curve.base, "dbl", P.x, P.y, P.z, ext=curve.ext,
-                beta=curve.nr2,
+                beta=curve.nr2, a=curve.a,
             )
         )
     F = field_ops(curve)
@@ -151,8 +154,12 @@ def double(curve: CurveSpec, P: JPoint) -> JPoint:
     A = F.sqr(X)
     B = F.sqr(Y)
     C = F.sqr(B)
-    D = F.double(F.sub(F.sqr(F.add(X, B)), F.add(A, C)))
+    D = F.double(F.sub(F.sqr(F.add(X, B)), F.add(A, C)))  # 4XY^2
     E = F.add(F.double(A), A)  # 3A
+    if curve.a != 0:
+        ZZ = F.sqr(Z)
+        a_c = F.const(curve.a, Z.ndim - F.value_ndim)
+        E = F.add(E, F.mul(a_c, F.sqr(ZZ)))  # M = 3X^2 + a Z^4
     X3 = F.sub(F.sqr(E), F.double(D))
     C8 = F.double(F.double(F.double(C)))
     Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
@@ -176,6 +183,7 @@ def add(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
                 bx[0], by[0], bz[0], bx[1], by[1], bz[1],
                 ext=curve.ext,
                 beta=curve.nr2,
+                a=curve.a,
             )
         )
     F = field_ops(curve)
@@ -234,6 +242,7 @@ def madd(curve: CurveSpec, P: JPoint, Q: JPoint) -> JPoint:
                 bx[0], by[0], bz[0], bx[1], by[1], bz[1],
                 ext=curve.ext,
                 beta=curve.nr2,
+                a=curve.a,
             )
         )
     F = field_ops(curve)
@@ -368,7 +377,7 @@ def generator(curve: CurveSpec, batch_shape=()) -> JPoint:
 
 @functools.partial(jax.jit, static_argnums=0)
 def is_on_curve(curve: CurveSpec, P: JPoint) -> jnp.ndarray:
-    """Jacobian curve check: Y^2 = X^3 + b Z^6 (a = 0); identity passes."""
+    """Jacobian curve check: Y^2 = X^3 + a X Z^4 + b Z^6; identity passes."""
     F = field_ops(curve)
     y2 = F.sqr(P.y)
     x3 = F.mul(F.sqr(P.x), P.x)
@@ -376,4 +385,7 @@ def is_on_curve(curve: CurveSpec, P: JPoint) -> jnp.ndarray:
     z6 = F.mul(F.sqr(z2), z2)
     b = F.const(curve.b, len(_batch_shape(curve, P)))
     rhs = F.add(x3, F.mul(b, z6))
+    if curve.a != 0:
+        a_c = F.const(curve.a, len(_batch_shape(curve, P)))
+        rhs = F.add(rhs, F.mul(a_c, F.mul(P.x, F.sqr(z2))))
     return F.eq(y2, rhs) | F.is_zero(P.z)

@@ -207,6 +207,40 @@ VESTA = CurveSpec(
     gen_y=2,
 )
 
+# ---------------------------------------------------------------------------
+# a != 0 short-Weierstrass support (the MNT-family curve SHAPE).
+#
+# The reference ships MNT4/6-{298,753} and CP6-782 (plugins/arkworks/
+# Cargo.toml:60-67, 113-140), all with a != 0; their search-product
+# parameters cannot be re-derived in this zero-egress environment
+# (PARITY.md). The generic-a group law itself is first-class here
+# (curves/jacobian.py double, ops/ec_kernel.py `_k_ec_double` with the
+# Montgomery `a` operand, ref/curve.py host oracle), validated on NIST
+# P-256 — a real production a = -3 curve whose parameters are universal
+# public constants (FIPS 186-4) — so the remaining MNT gap is parameters
+# pending, not an architectural limitation.
+# ---------------------------------------------------------------------------
+
+_P256_P = 0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF
+SECP256R1_FP = FieldSpec(name="secp256r1_fp", modulus=_P256_P)
+SECP256R1_FR = FieldSpec(
+    name="secp256r1_fr",
+    modulus=0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+)
+
+#: NIST P-256 / secp256r1 (FIPS 186-4 D.1.2.3): y^2 = x^3 - 3x + b,
+#: prime order (cofactor 1). Generator on-curve + order checked in
+#: tests/test_curve_matrix.py.
+SECP256R1 = CurveSpec(
+    name="secp256r1",
+    base=SECP256R1_FP,
+    scalar=SECP256R1_FR,
+    a=_P256_P - 3,
+    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+    gen_x=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+    gen_y=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+)
+
 REGISTRY = {
     c.name: c
     for c in (
@@ -220,12 +254,40 @@ REGISTRY = {
         BW6_761_G2,
         PALLAS,
         VESTA,
+        SECP256R1,
     )
 }
 
 
 def get_curve(name: str) -> CurveSpec:
     return REGISTRY[name]
+
+
+def toy_curve_a() -> CurveSpec:
+    """An a != 0 sibling of `toy_curve` (y^2 = x^3 + 5x + 7 over the same
+    31-bit field): drives the generic-a group-law paths (jacobian double,
+    kernels, MSM pipeline) with fast compiles. NOT cryptographically
+    meaningful."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def build():
+        p = (1 << 31) - 1
+        field = FieldSpec(name="toy_fp32", modulus=p)
+        a = 5
+        x = 2
+        while True:
+            rhs = (x * x * x + a * x + 7) % p
+            y = pow(rhs, (p + 1) // 4, p)
+            if y * y % p == rhs:
+                break
+            x += 1
+        return CurveSpec(
+            name="toy_g1_a", base=field, scalar=field, a=a, b=7,
+            gen_x=x, gen_y=y,
+        )
+
+    return build()
 
 
 def toy_curve() -> CurveSpec:

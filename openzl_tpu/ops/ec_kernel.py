@@ -189,14 +189,18 @@ class _OpsF2:
         return (self.b.zero_like(a[0]), self.b.zero_like(a[1]))
 
 
-def _k_ec_double(F, X, Y, Z):
-    """dbl-2009-l (a=0); identity-safe (Z3 = 2YZ = 0)."""
+def _k_ec_double(F, X, Y, Z, a=None):
+    """dbl-2009-l (a=0) / generic-a Jacobian double (M = 3X^2 + a Z^4);
+    identity-safe (Z3 = 2YZ = 0). `a` is the Montgomery-form curve
+    coefficient (None for a = 0)."""
     A = F.sqr(X)
     B = F.sqr(Y)
     C = F.sqr(B)
     t = F.sub(F.sqr(F.add(X, B)), F.add(A, C))
     D = F.double(t)
     E = F.add(F.double(A), A)
+    if a is not None:
+        E = F.add(E, F.mul(a, F.sqr(F.sqr(Z))))
     X3 = F.sub(F.sqr(E), F.double(D))
     C8 = F.double(F.double(F.double(C)))
     Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
@@ -204,7 +208,7 @@ def _k_ec_double(F, X, Y, Z):
     return X3, Y3, Z3
 
 
-def _add_core(F, P, Q, mixed):
+def _add_core(F, P, Q, mixed, a=None):
     """Shared add body; Q normalized (Z2 in {0,1}) when mixed."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
@@ -246,7 +250,7 @@ def _add_core(F, P, Q, mixed):
     same = both & h_zero & r_zero
     opposite = both & h_zero & ~r_zero
 
-    DX, DY, DZ = _k_ec_double(F, X1, Y1, Z1)
+    DX, DY, DZ = _k_ec_double(F, X1, Y1, Z1, a)
     one = F.one_like(X1)
     zero = F.zero_like(X1)
 
@@ -280,17 +284,24 @@ def _ops(ext, p, n0, beta=-1):
     return _OpsF1(p, n0) if ext == 1 else _OpsF2(p, n0, beta)
 
 
-def _make_add_kernel(n0inv: int, mixed: bool, ext: int, beta: int = -1):
+def _make_add_kernel(
+    n0inv: int, mixed: bool, ext: int, beta: int = -1, has_a: bool = False
+):
     n0 = np.uint32(n0inv)
 
-    def kernel(p_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    def kernel(p_ref, *refs):
+        if has_a:
+            a_ref, refs = refs[0], refs[1:]
+        x1, y1, z1, x2, y2, z2, ox, oy, oz = refs
         p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
         F = _ops(ext, p, n0, beta)
+        a = _split(a_ref[...], ext) if has_a else None
         X3, Y3, Z3 = _add_core(
             F,
             (_split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)),
             (_split(x2[...], ext), _split(y2[...], ext), _split(z2[...], ext)),
             mixed,
+            a,
         )
         ox[...] = _join(X3, ext)
         oy[...] = _join(Y3, ext)
@@ -299,14 +310,20 @@ def _make_add_kernel(n0inv: int, mixed: bool, ext: int, beta: int = -1):
     return kernel
 
 
-def _make_dbl_kernel(n0inv: int, ext: int, beta: int = -1):
+def _make_dbl_kernel(n0inv: int, ext: int, beta: int = -1, has_a: bool = False):
     n0 = np.uint32(n0inv)
 
-    def kernel(p_ref, x1, y1, z1, ox, oy, oz):
+    def kernel(p_ref, *refs):
+        if has_a:
+            a_ref, refs = refs[0], refs[1:]
+        x1, y1, z1, ox, oy, oz = refs
         p = p_ref[...].reshape(p_ref.shape[0], 1, 1)
         F = _ops(ext, p, n0, beta)
+        a = _split(a_ref[...], ext) if has_a else None
         X3, Y3, Z3 = _k_ec_double(
-            F, _split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext)
+            F,
+            _split(x1[...], ext), _split(y1[...], ext), _split(z1[...], ext),
+            a,
         )
         ox[...] = _join(X3, ext)
         oy[...] = _join(Y3, ext)
@@ -315,10 +332,30 @@ def _make_dbl_kernel(n0inv: int, ext: int, beta: int = -1):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _ec_call(spec: FieldSpec, mode: str, ext: int, beta: int, interpret: bool, *coords):
+def _a_mont_limbs(spec: FieldSpec, ext: int, a) -> np.ndarray:
+    """Montgomery limb array for the curve coefficient a: (n, 1, 1) for
+    Fq, (n, 2, 1, 1) for Fq2 (a given as an int or (c0, c1) pair)."""
+    from ..fields.spec import int_to_limbs
+
+    n = spec.n_limbs
+    if ext == 1:
+        assert not isinstance(a, tuple)
+        return int_to_limbs(spec.to_mont(a % spec.modulus), n).reshape(n, 1, 1)
+    pair = a if isinstance(a, tuple) else (a, 0)
+    cols = [
+        int_to_limbs(spec.to_mont(c % spec.modulus), n) for c in pair
+    ]
+    return np.stack(cols, axis=1).reshape(n, 2, 1, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _ec_call(
+    spec: FieldSpec, mode: str, ext: int, beta: int, a, interpret: bool,
+    *coords,
+):
     """mode: 'add' | 'madd' | 'dbl'. coords: flat (n, N) (ext=1) or
-    (n, 2, N) (ext=2) arrays, N a multiple of the batch tile."""
+    (n, 2, N) (ext=2) arrays, N a multiple of the batch tile. `a` is the
+    static curve coefficient (0 keeps the cheaper a=0 double)."""
     n = spec.n_limbs
     p3 = np.asarray(spec.p_limbs, dtype=np.uint32).reshape(
         (n,) + (1,) * (ext + 1)
@@ -327,11 +364,12 @@ def _ec_call(spec: FieldSpec, mode: str, ext: int, beta: int, interpret: bool, *
     S = N // _LANES
     sub = _SUBLANES if ext == 1 else _SUBLANES // 2
     g = S // sub
+    has_a = a != 0 and not (isinstance(a, tuple) and a == (0, 0))
 
     if mode == "dbl":
-        kernel = _make_dbl_kernel(spec.n0inv, ext, beta)
+        kernel = _make_dbl_kernel(spec.n0inv, ext, beta, has_a)
     else:
-        kernel = _make_add_kernel(spec.n0inv, mode == "madd", ext, beta)
+        kernel = _make_add_kernel(spec.n0inv, mode == "madd", ext, beta, has_a)
 
     if ext == 1:
         shaped = [c.reshape(n, S, _LANES) for c in coords]
@@ -358,14 +396,23 @@ def _ec_call(spec: FieldSpec, mode: str, ext: int, beta: int, interpret: bool, *
             jax.ShapeDtypeStruct((n, 2, S, _LANES), jnp.uint32)
             for _ in range(3)
         ]
+    operands = [jnp.asarray(p3)]
+    in_specs = [small]
+    if has_a:
+        a3 = _a_mont_limbs(spec, ext, a)
+        a_spec = pl.BlockSpec(
+            a3.shape, lambda i: (0,) * a3.ndim, memory_space=pltpu.VMEM
+        )
+        operands.append(jnp.asarray(a3))
+        in_specs.append(a_spec)
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[small] + [blk] * len(shaped),
+        in_specs=in_specs + [blk] * len(shaped),
         out_specs=[blk] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(p3), *shaped)
+    )(*operands, *shaped)
     if ext == 1:
         return tuple(o.reshape(n, N) for o in outs)
     return tuple(o.reshape(n, 2, N) for o in outs)
@@ -374,12 +421,210 @@ def _ec_call(spec: FieldSpec, mode: str, ext: int, beta: int, interpret: bool, *
 _TILE = _SUBLANES * _LANES
 
 
+# ---------------------------------------------------------------------------
+# fused gather-fold kernel (MSM bucket pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _make_fold_kernel(
+    n0inv: int, ext: int, beta: int, skip_z: bool, r: int, has_a: bool = False
+):
+    """Kernel folding r sorted columns with the mixed add, writing every
+    column's running prefix plus the chunk totals — the serial madd fold of
+    `ops.msm._bucket_totals_fast` in ONE launch instead of r Pallas calls
+    plus r dynamic-update-slice passes (the fold was 41 ms/window at 2^20,
+    ~3x its own compute+bandwidth floor; experiments/msm_gatherfold_probe).
+
+    Ref shapes (per grid block): coords (n[, 2], *mid, r, lb), starts
+    (*smid, r, lb) u32; outputs buf x/y/z like coords and totals
+    (n[, 2], *mid, lb). The fold runs under ONE in-kernel fori_loop with
+    dynamic column slicing, so the traced graph holds a single madd.
+    """
+    n0 = np.uint32(n0inv)
+
+    def kernel(p_ref, *all_refs):
+        if has_a:
+            a_ref, all_refs = all_refs[0], all_refs[1:]
+        st_ref, refs = all_refs[0], all_refs[1:]
+        if skip_z:
+            px_ref, py_ref = refs[0], refs[1]
+            pz_ref = None
+            bx, by, bz, tx, ty, tz = refs[2:]
+        else:
+            px_ref, py_ref, pz_ref = refs[0], refs[1], refs[2]
+            bx, by, bz, tx, ty, tz = refs[3:]
+        nd = px_ref.ndim
+        p = p_ref[...].reshape(p_ref.shape[0], *(1,) * (nd - 2))
+        F = _ops(ext, p, n0, beta)
+        if has_a:
+            av = a_ref[...]  # (n[, 2], 1, 1)
+            shape_tail = (1,) * (nd - 2 - (ext == 2))
+            if ext == 2:
+                a_val = (
+                    av[:, 0].reshape(av.shape[0], *shape_tail),
+                    av[:, 1].reshape(av.shape[0], *shape_tail),
+                )
+            else:
+                a_val = av.reshape(av.shape[0], *shape_tail)
+        else:
+            a_val = None
+
+        def col(ref, j):
+            v = ref[(Ellipsis, pl.ds(j, 1), slice(None))]
+            return jax.lax.squeeze(v, (v.ndim - 2,))
+
+        x0 = col(px_ref, 0)
+        idx = F.one_like(_split(x0, ext))
+        idz = F.zero_like(_split(x0, ext))
+
+        def write(ref, j, v):
+            ref[(Ellipsis, pl.ds(j, 1), slice(None))] = jnp.expand_dims(
+                _join(v, ext), -2
+            )
+
+        def body(j, acc):
+            qx = _split(col(px_ref, j), ext)
+            qy = _split(col(py_ref, j), ext)
+            if pz_ref is None:
+                qz = F.one_like(qx)
+            else:
+                qz = _split(col(pz_ref, j), ext)
+            ax, ay, az = _add_core(F, acc, (qx, qy, qz), mixed=True, a=a_val)
+            s = col(st_ref, j) != 0  # (smid..., lb) -> broadcasts over limbs
+            ax = F.select(s, qx, ax)
+            ay = F.select(s, qy, ay)
+            az = F.select(s, qz, az)
+            write(bx, j, ax)
+            write(by, j, ay)
+            write(bz, j, az)
+            return (ax, ay, az)
+
+        accx, accy, accz = jax.lax.fori_loop(0, r, body, (idx, idx, idz))
+        tx[...] = _join(accx, ext)
+        ty[...] = _join(accy, ext)
+        tz[...] = _join(accz, ext)
+
+    return kernel
+
+
+#: VMEM budget for the fold kernel's live blocks (bytes) — coords in (2-3)
+#: + prefix buffers out (3), double-buffered by the Pallas pipeline (hence
+#: the budget is ~half the 16 MB VMEM, minus temporaries).
+_FOLD_VMEM_BUDGET = 6 << 20
+
+
+def fold_block_lanes(n_limbs: int, ext: int, mid: int, r: int, skip_z: bool) -> int:
+    """Largest power-of-two lane-block fitting the VMEM budget; 0 if even
+    128 lanes do not fit (caller falls back to the jnp fold)."""
+    coords_in = 2 if skip_z else 3
+    per_lane = n_limbs * ext * mid * r * 4 * (coords_in + 3)
+    for lb in (512, 256, 128):
+        if per_lane * lb <= _FOLD_VMEM_BUDGET:
+            return lb
+    return 0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _fold_call(
+    spec: FieldSpec, ext: int, beta: int, skip_z: bool, a, interpret: bool,
+    starts, *coords
+):
+    """coords: (n[, 2], *mid, r, l) sorted column-major points (2 coords
+    when skip_z else 3); starts: (*smid, r, l) u32 segment-start mask.
+    Returns (bufx, bufy, bufz, totx, toty, totz)."""
+    n = spec.n_limbs
+    cshape = coords[0].shape
+    r, l = cshape[-2], cshape[-1]
+    mid = cshape[1 + (ext == 2):-2]
+    midp = 1
+    for d in mid:
+        midp *= d
+    lb = fold_block_lanes(n, ext, midp, r, skip_z)
+    assert lb and l % lb == 0, (cshape, lb)
+    g = l // lb
+
+    p3 = np.asarray(spec.p_limbs, dtype=np.uint32).reshape(
+        (n,) + (1,) * (len(cshape) - 1)
+    )
+    smid = starts.shape[:-2]
+
+    def blk(shape_head):
+        nd = len(shape_head)
+        return pl.BlockSpec(
+            shape_head + (r, lb),
+            lambda i, nd=nd: (0,) * nd + (0, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def blk_tot(shape_head):
+        nd = len(shape_head)
+        return pl.BlockSpec(
+            shape_head + (lb,),
+            lambda i, nd=nd: (0,) * nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    chead = cshape[:-2]
+    small = pl.BlockSpec(
+        (n,) + (1,) * (len(cshape) - 1),
+        lambda i: (0,) * len(cshape),
+        memory_space=pltpu.VMEM,
+    )
+    has_a = a != 0 and not (isinstance(a, tuple) and a == (0, 0))
+    kernel = _make_fold_kernel(spec.n0inv, ext, beta, skip_z, r, has_a)
+    out_shape = [jax.ShapeDtypeStruct(chead + (r, l), jnp.uint32)] * 3 + [
+        jax.ShapeDtypeStruct(chead + (l,), jnp.uint32)
+    ] * 3
+    operands = [jnp.asarray(p3)]
+    in_specs = [small]
+    if has_a:
+        a3 = _a_mont_limbs(spec, ext, a)
+        operands.append(jnp.asarray(a3))
+        in_specs.append(
+            pl.BlockSpec(
+                a3.shape, lambda i: (0,) * a3.ndim, memory_space=pltpu.VMEM
+            )
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs + [blk(smid), *([blk(chead)] * len(coords))],
+        out_specs=[blk(chead)] * 3 + [blk_tot(chead)] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands, starts, *coords)
+    return outs
+
+
+def fold_madd(
+    spec: FieldSpec,
+    starts,
+    coords,
+    ext: int = 1,
+    beta: int = -1,
+    a=0,
+    skip_z: bool = False,
+    interpret: bool = False,
+):
+    """Fused sorted-column madd fold (see `_make_fold_kernel`).
+
+    starts: (*smid, r, l) bool; coords: 2 (skip_z) or 3 arrays
+    (n[, 2], *mid, r, l). Returns ((bufx, bufy, bufz), (totx, toty, totz)).
+    """
+    outs = _fold_call(
+        spec, ext, beta, skip_z, a, interpret,
+        starts.astype(jnp.uint32), *coords,
+    )
+    return outs[:3], outs[3:]
+
+
 def ec_op(
     spec: FieldSpec,
     mode: str,
     *coords,
     ext: int = 1,
     beta: int = -1,
+    a=0,
     interpret: bool = False,
 ):
     """Batched EC op on flat (n_limbs[, 2], *batch) coordinate arrays.
@@ -405,5 +650,5 @@ def ec_op(
                 axis=-1,
             )
         flat.append(f)
-    outs = _ec_call(spec, mode, ext, beta, interpret, *flat)
+    outs = _ec_call(spec, mode, ext, beta, a, interpret, *flat)
     return tuple(o[..., :size].reshape(head + batch) for o in outs)

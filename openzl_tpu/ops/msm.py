@@ -344,29 +344,7 @@ def _bucket_totals_fast(
     # unoccupied buckets carry the identity (flag True keeps it in `lifted`)
     bflag = (start_pos // r == chunk_b) | ~occ
 
-    acc0 = tuple(jac.identity(curve, sb + (l,)))
-    buf0 = tuple(jnp.zeros(v.shape, jnp.uint32) for v in sp)
-
-    def col(v, j):
-        return lax.squeeze(
-            lax.dynamic_slice_in_dim(v, j, 1, axis=v.ndim - 2), (v.ndim - 2,)
-        )
-
-    def body(j, carry):
-        acc, bufs = carry
-        q = JPoint(col(cps.x, j), col(cps.y, j), col(cps.z, j))
-        s = col(st2, j)
-        summed = jac.madd(curve, JPoint(*acc), q)
-        acc_p = jac.select(s, q, summed, F)
-        bufs = tuple(
-            lax.dynamic_update_slice_in_dim(
-                b, a[..., None, :], j, axis=b.ndim - 2
-            )
-            for b, a in zip(bufs, acc_p)
-        )
-        return (tuple(acc_p), bufs)
-
-    totals, bufs = lax.fori_loop(0, r, body, (acc0, buf0))
+    totals, bufs = _fold_columns(curve, cps, st2, skip_z, multi_set, F, sb, l, r)
     tflag = st2.any(axis=-2)  # chunk contains a segment start
 
     # lifted segmented monoid over chunk totals -> exclusive offsets
@@ -419,6 +397,96 @@ def _bucket_totals_fast(
             p_live = half
         buckets = JPoint(*(v[..., 0, :] for v in cur))
     return buckets
+
+
+#: fold-kernel mode: "auto" = fused Pallas kernel on TPU (jnp fold
+#: elsewhere), "interpret" = Pallas interpreter (CPU test coverage),
+#: "off" = always the jnp fori_loop fold.
+_FOLD_KERNEL_MODE = "auto"
+
+
+def _fold_columns(curve, cps, st2, skip_z, multi_set, F, sb, l, r):
+    """Serial madd fold over the r sorted columns, returning (totals, bufs).
+
+    Routes through the fused Pallas fold kernel (ops.ec_kernel.fold_madd:
+    one launch per window folding all r columns and writing every prefix)
+    when the platform and block budget allow; falls back to the r-step
+    fori_loop of separate madd launches otherwise. Multi-set inputs run
+    the kernel once per SET (the set slices are independent folds; sort +
+    gather stay amortized) to keep blocks inside the VMEM budget.
+    """
+    from . import ec_kernel
+
+    mode = _FOLD_KERNEL_MODE
+    use_kernel = mode == "interpret" or (mode == "auto" and jac._pallas_ec(curve))
+    if use_kernel:
+        interp = mode == "interpret"
+        ext = curve.ext
+        if multi_set:
+            n_sets = cps.z.shape[F.value_ndim]
+            mid = cps.z.shape[F.value_ndim + 1 : -2]
+        else:
+            n_sets = 0
+            mid = cps.z.shape[F.value_ndim : -2]
+        midp = 1
+        for d in mid:
+            midp *= d
+        lb = ec_kernel.fold_block_lanes(
+            curve.base.n_limbs, ext, midp, r, skip_z
+        )
+        if not lb or l % lb:
+            use_kernel = False
+    if use_kernel:
+        sl = (slice(None),) * F.value_ndim
+
+        def run(coords):
+            bufs, totals = ec_kernel.fold_madd(
+                curve.base, st2, coords,
+                ext=ext, beta=curve.nr2, a=curve.a, skip_z=skip_z,
+                interpret=interp,
+            )
+            return totals, bufs
+
+        if not multi_set:
+            coords = (cps.x, cps.y) if skip_z else (cps.x, cps.y, cps.z)
+            return run(coords)
+        per_set = [
+            run((cps.x[sl + (s,)], cps.y[sl + (s,)], cps.z[sl + (s,)]))
+            for s in range(n_sets)
+        ]
+        totals = tuple(
+            jnp.stack([p[0][i] for p in per_set], axis=F.value_ndim)
+            for i in range(3)
+        )
+        bufs = tuple(
+            jnp.stack([p[1][i] for p in per_set], axis=F.value_ndim)
+            for i in range(3)
+        )
+        return totals, bufs
+
+    acc0 = tuple(jac.identity(curve, sb + (l,)))
+    buf0 = tuple(jnp.zeros(v.shape, jnp.uint32) for v in cps)
+
+    def col(v, j):
+        return lax.squeeze(
+            lax.dynamic_slice_in_dim(v, j, 1, axis=v.ndim - 2), (v.ndim - 2,)
+        )
+
+    def body(j, carry):
+        acc, bufs = carry
+        q = JPoint(col(cps.x, j), col(cps.y, j), col(cps.z, j))
+        s = col(st2, j)
+        summed = jac.madd(curve, JPoint(*acc), q)
+        acc_p = jac.select(s, q, summed, F)
+        bufs = tuple(
+            lax.dynamic_update_slice_in_dim(
+                b, a[..., None, :], j, axis=b.ndim - 2
+            )
+            for b, a in zip(bufs, acc_p)
+        )
+        return (tuple(acc_p), bufs)
+
+    return lax.fori_loop(0, r, body, (acc0, buf0))
 
 
 def _weighted_bucket_total(curve: CurveSpec, buckets: JPoint, c: int) -> JPoint:
@@ -783,6 +851,7 @@ def _msm_jit(
             [digits_all, jnp.zeros((w_pad - n_windows, n), digits_all.dtype)]
         )
 
+    F = jac.field_ops(curve)
     if group > 1:
         dg = digits_all.reshape(w_pad // group, group, n)
 
@@ -793,9 +862,7 @@ def _msm_jit(
             return None, tuple(buckets)
 
         _, bstack = lax.scan(group_body, None, dg)
-        # leaves: (w/G, n_val..., G, 2^c) -> batch (w, 2^c), then ONE
-        # weighted-total pass over all windows at once
-        F = jac.field_ops(curve)
+        # leaves: (w/G, n_val..., G, 2^c) -> batch (w, 2^c)
 
         def flat(v):
             v = jnp.moveaxis(v, 0, F.value_ndim)  # (n_val..., w/G, G, 2^c)
@@ -804,19 +871,23 @@ def _msm_jit(
             )
 
         buckets = JPoint(flat(bstack[0]), flat(bstack[1]), flat(bstack[2]))
-        total = _weighted_bucket_total(curve, buckets, c)  # batch (w,)
-        sums = JPoint(*(jnp.moveaxis(v, -1, 0) for v in total))
     else:
 
         def window_body(_, d):
-            buckets = _bucket_totals_fast(
+            b = _bucket_totals_fast(
                 curve, points, d, c, normalized=True, rows=rows
             )
-            total = _weighted_bucket_total(curve, buckets, c)
-            return None, tuple(total)
+            return None, tuple(b)
 
-        _, sums = lax.scan(window_body, None, digits_all)
-        sums = JPoint(*sums)  # leading axis = window index
+        _, bstack = lax.scan(window_body, None, digits_all)
+        # collect ALL windows' buckets (w * 2^c * point size is a few tens
+        # of MB), then run ONE weighted-total pass: the per-window weighted
+        # scans were ~50 small serial EC launches each — pure launch
+        # overhead at the 2^20 flagship size where grouping is disabled
+        buckets = JPoint(*(jnp.moveaxis(v, 0, F.value_ndim) for v in bstack))
+    # ONE weighted-total pass over all windows at once
+    total = _weighted_bucket_total(curve, buckets, c)  # batch (w,)
+    sums = JPoint(*(jnp.moveaxis(v, -1, 0) for v in total))
 
     # Horner from the most significant window: acc = 2^c * acc + S_w
     # (doublings under fori_loop: one `double` instance in the graph)

@@ -64,8 +64,17 @@ def add(curve: CurveSpec, P: Affine, Q: Affine) -> Affine:
     if x1 == x2:
         if F.is_zero(F.add(y1, y2)):
             return None
-        # double (a = 0): lambda = 3 x^2 / 2 y
-        lam = F.mul(F.scalar(F.mul(x1, x1), 3), F.inv(F.scalar(y1, 2)))
+        # double: lambda = (3 x^2 + a) / 2 y  (a = 0 for the pairing
+        # curves; generic-a covers the MNT-family curve shapes)
+        num = F.scalar(F.mul(x1, x1), 3)
+        if curve.a != 0:
+            a = (
+                curve.a
+                if curve.ext == 1
+                else (curve.a if isinstance(curve.a, tuple) else (curve.a, 0))
+            )
+            num = F.add(num, a)
+        lam = F.mul(num, F.inv(F.scalar(y1, 2)))
     else:
         lam = F.mul(F.sub(y2, y1), F.inv(F.sub(x2, x1)))
     x3 = F.sub(F.sub(F.mul(lam, lam), x1), x2)
@@ -102,6 +111,13 @@ def is_on_curve(curve: CurveSpec, P: Affine) -> bool:
     x, y = P
     lhs = F.mul(y, y)
     rhs = F.add(F.mul(F.mul(x, x), x), curve.b if curve.ext == 2 else curve.b % curve.base.modulus)
+    if curve.a != 0:
+        a = (
+            curve.a % curve.base.modulus
+            if curve.ext == 1
+            else (curve.a if isinstance(curve.a, tuple) else (curve.a, 0))
+        )
+        rhs = F.add(rhs, F.mul(a, x))
     return lhs == rhs
 
 

@@ -63,9 +63,18 @@ def _is_largest_y(spec: FieldSpec, y: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _flag_extra(curve: CurveSpec) -> int:
+    """1 when the modulus leaves fewer than the 2 SWFlags bits spare in the
+    top serialized byte (e.g. exact-multiple-of-64 moduli like P-256): the
+    flags then ride in one extra trailing byte. 0 for every arkworks-config
+    curve the reference ships (their layouts are unchanged)."""
+    spec = curve.base
+    return 1 if spec.bits + 2 > 8 * spec.n_bytes else 0
+
+
 def point_to_bytes(curve: CurveSpec, pt, compressed: bool = True) -> bytes:
     spec = curve.base
-    nb = spec.n_bytes
+    extra = _flag_extra(curve)
 
     def coord_bytes(c) -> bytearray:
         if curve.ext == 1:
@@ -79,6 +88,7 @@ def point_to_bytes(curve: CurveSpec, pt, compressed: bool = True) -> bytes:
         out = coord_bytes(zero)
         if not compressed:
             out += coord_bytes(zero)
+        out += bytes(extra)
         out[-1] |= _INFINITY_FLAG
         return bytes(out)
 
@@ -93,10 +103,12 @@ def point_to_bytes(curve: CurveSpec, pt, compressed: bool = True) -> bytes:
                 if y[1] != 0
                 else _is_largest_y(spec, y[0])
             )
+        out += bytes(extra)
         if y_big:
             out[-1] |= _LARGEST_Y_FLAG
     else:
         out += coord_bytes(y)
+        out += bytes(extra)
     return bytes(out)
 
 
@@ -131,7 +143,7 @@ def _sqrt_mod(spec: FieldSpec, a: int) -> Optional[int]:
 def point_size(curve: CurveSpec, compressed: bool = True) -> int:
     """Serialized byte length of one point (ark CanonicalSerialize)."""
     nb = curve.base.n_bytes * curve.ext
-    return nb if compressed else 2 * nb
+    return (nb if compressed else 2 * nb) + _flag_extra(curve)
 
 
 def subgroup_check(curve: CurveSpec, pt) -> bool:
@@ -174,13 +186,15 @@ def point_from_bytes(
 
 def _point_from_bytes_on_curve(curve: CurveSpec, data: bytes, compressed: bool):
     spec = curve.base
+    extra = _flag_extra(curve)
     if not compressed:
         nb = spec.n_bytes * curve.ext
-        raw = bytearray(data[: 2 * nb])
+        raw = bytearray(data[: 2 * nb + extra])
         flags = raw[-1] & 0xC0
         raw[-1] &= 0x3F
         if flags & _INFINITY_FLAG:
             return None
+        raw = raw[: 2 * nb]  # drop the flag byte once consumed
 
         def coord(b: bytes):
             if curve.ext == 1:
@@ -201,16 +215,18 @@ def _point_from_bytes_on_curve(curve: CurveSpec, data: bytes, compressed: bool):
             rhs = tf.f2_add(
                 p, tf.f2_mul(p, tf.f2_mul(p, x, x, nr), x, nr), curve.b
             )
+            rhs = _f2_add_ax(curve, x, rhs)
             on = tf.f2_sub(p, tf.f2_mul(p, y, y, nr), rhs) == (0, 0)
         if not on:
             raise DecodeError("point not on curve (uncompressed)")
         return (x, y)
     nb = spec.n_bytes * curve.ext
-    raw = bytearray(data[:nb])
+    raw = bytearray(data[: nb + extra])
     flags = raw[-1] & 0xC0
     raw[-1] &= 0x3F
     if flags & _INFINITY_FLAG:
         return None
+    raw = raw[:nb]
     if curve.ext == 1:
         x = field_from_bytes(spec, bytes(raw))
         y2 = (x * x * x + curve.a * x + curve.b) % spec.modulus
@@ -231,6 +247,7 @@ def _point_from_bytes_on_curve(curve: CurveSpec, data: bytes, compressed: bool):
     rhs = tf.f2_add(
         p, tf.f2_mul(p, tf.f2_mul(p, x, x, curve.nr2), x, curve.nr2), curve.b
     )
+    rhs = _f2_add_ax(curve, x, rhs)
     y = _f2_sqrt(spec, rhs, curve.nr2)
     if y is None:
         raise DecodeError("x not on curve (G2)")
@@ -239,6 +256,17 @@ def _point_from_bytes_on_curve(curve: CurveSpec, data: bytes, compressed: bool):
     if y_big != flag_bit:
         y = tf.f2_neg(p, y)
     return (x, y)
+
+
+def _f2_add_ax(curve: CurveSpec, x, rhs):
+    """rhs + a*x in Fq2 (a = 0 for the pairing towers; generic-a parity)."""
+    if curve.a == 0:
+        return rhs
+    from ..ref import fields as tf
+
+    p = curve.base.modulus
+    a = curve.a if isinstance(curve.a, tuple) else (curve.a % p, 0)
+    return tf.f2_add(p, rhs, tf.f2_mul(p, a, x, curve.nr2))
 
 
 def _f2_sqrt(spec: FieldSpec, a, beta: int = -1) -> Optional[Tuple[int, int]]:

@@ -167,3 +167,15 @@ def test_groth16_device_backend_e2e():
     proof_a = g16.prove_assigned(pk, z, _r.Random(77))
     proof_b = g16.prove_assigned(pk, z_limbs, _r.Random(77))
     assert proof_b.to_bytes(g16.pairing) == proof_a.to_bytes(g16.pairing)
+
+    # staged (HBM-capacity) prove: host-offloaded queries, per-stage MSMs
+    # with explicit device-buffer frees — must stay bit-exact (this mode
+    # is what fits the c=2^20 flagship prove on one chip). offload_queries
+    # invalidates the original pk's device buffers, so it runs LAST.
+    pk_staged = pk.offload_queries()
+    assert pk_staged.staged
+    proof_c = g16.prove_assigned(pk_staged, z_limbs, _r.Random(77))
+    assert proof_c.to_bytes(g16.pairing) == proof_a.to_bytes(g16.pairing)
+    # a second staged prove re-stages the freed COO/query buffers cleanly
+    proof_d = g16.prove_assigned(pk_staged, z_limbs, _r.Random(78))
+    assert g16.verify(pk_staged.vk, inputs, proof_d)

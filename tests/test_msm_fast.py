@@ -167,6 +167,40 @@ def test_msm_multi_matches_individual(curve, monkeypatch, grouped):
         assert jac.to_affine_ints(curve, single) == want
 
 
+@pytest.mark.parametrize("multi", [False, True])
+def test_fold_kernel_interpret_matches_jnp(curve, monkeypatch, multi):
+    """The fused Pallas fold kernel (ops.ec_kernel.fold_madd, interpret
+    mode on CPU) must reproduce the jnp fori_loop fold bit-exactly through
+    the full MSM pipeline — identities, duplicate digits, and the start-
+    select path included. Production uses the compiled kernel on TPU."""
+    from openzl_tpu.ops import msm as msmmod
+    from openzl_tpu.ops.msm import msm_multi
+
+    n = 4096  # r=32 -> l=128: minimum fold-kernel block width
+    ks = [RNG.randrange(1 << 15) for _ in range(n - 2)] + [0, 1]
+    scal = limb.pack(curve.scalar, np.array(ks, dtype=object))
+    if multi:
+        sets = []
+        for s in range(2):
+            pts = _points(curve, n)
+            for i in range(s, n, 501 + s):
+                pts[i] = None
+            sets.append(pts)
+        plist = [jac.from_affine_ints(curve, pts) for pts in sets]
+        monkeypatch.setattr(msmmod, "_FOLD_KERNEL_MODE", "interpret")
+        outs = msm_multi(curve, scal, plist, window_bits=4, n_bits=15)
+        for pts, out in zip(sets, outs):
+            assert jac.to_affine_ints(curve, out) == ref.msm(curve, ks, pts)
+    else:
+        pts = _points(curve, n)
+        pts[17] = None
+        P = jac.from_affine_ints(curve, pts)
+        want = ref.msm(curve, ks, pts)
+        monkeypatch.setattr(msmmod, "_FOLD_KERNEL_MODE", "interpret")
+        got = jac.to_affine_ints(curve, msm(curve, scal, P, 4, 15))
+        assert got == want
+
+
 def test_fixed_base_table_disk_cache(curve, tmp_path, monkeypatch):
     """`_fixed_base_table` must round-trip through its .npz disk cache: the
     first call writes the file, a fresh call (lru cleared, host EC oracle

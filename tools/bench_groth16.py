@@ -51,6 +51,11 @@ def main():
         "against the populated persistent compile cache (VERDICT r3 "
         "item 6: the warm-start story)",
     )
+    ap.add_argument(
+        "--staged", action="store_true",
+        help="host-offload the proving-key queries and run the HBM-staged "
+        "per-stage MSM prove (required to fit c=2^20 on one chip)",
+    )
     args = ap.parse_args()
     tag = f"_{args.tag}" if args.tag else ""
     print("platform:", jax.devices()[0].platform, flush=True)
@@ -83,6 +88,9 @@ def main():
     t0 = time.perf_counter()
     pk = g16.compile(setup_cs, RNG)
     rec(f"groth16_setup_c{nc}{tag}", time.perf_counter() - t0, {"constraints": nc})
+    if args.staged:
+        pk = pk.offload_queries()
+        print("proving-key queries offloaded to host (staged prove)", flush=True)
 
     # witness synthesis: native tape replay (no Python gadget re-trace);
     # the calculator itself is built once per circuit alongside the pk

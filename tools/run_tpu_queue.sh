@@ -30,7 +30,11 @@ for phase in "${@:-scale groth16}"; do
     scale)      run_phase scale python tools/bench_scale.py ;;
     groth16)    run_phase groth16 python tools/bench_groth16.py --chain 64 ;;
     groth16_1m) PHASE_TIMEOUT=14400 run_phase groth16_1m \
-                    env OZL_PROFILE=1 python tools/bench_groth16.py --chain 4480 ;;
+                    env OZL_PROFILE=1 python tools/bench_groth16.py \
+                    --chain 4480 --staged ;;
+    groth16_half) PHASE_TIMEOUT=14400 run_phase groth16_half \
+                    env OZL_PROFILE=1 python tools/bench_groth16.py \
+                    --chain 2240 ;;
     coldcache)  run_phase coldcache python tools/bench_groth16.py \
                     --chain 560 --tag coldcache ;;
     drive)      run_phase drive python tools/verify_drive_all.py all ;;
