@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.spec import FieldSpec
 from .poseidon_kernel import _cond_sub_p, _k_add, _k_mont_mul, _k_mont_sqr, _sub_raw
+from ..utils.aot_cache import aot_jit
 
 _LANES = 128
 #: batch-tile sublanes: 9-11 live (24, S, 128) u32 buffers per EC op must
@@ -348,7 +349,7 @@ def _a_mont_limbs(spec: FieldSpec, ext: int, a) -> np.ndarray:
     return np.stack(cols, axis=1).reshape(n, 2, 1, 1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(aot_jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _ec_call(
     spec: FieldSpec, mode: str, ext: int, beta: int, a, interpret: bool,
     *coords,
@@ -524,7 +525,7 @@ def fold_block_lanes(n_limbs: int, ext: int, mid: int, r: int, skip_z: bool) -> 
     return 0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(aot_jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _fold_call(
     spec: FieldSpec, ext: int, beta: int, skip_z: bool, a, interpret: bool,
     starts, *coords

@@ -32,6 +32,7 @@ from ..curves.jacobian import JPoint
 from ..curves.spec import CurveSpec
 from ..fields.spec import LIMB_BITS
 from .scan_utils import inclusive_scan, segmented_scan
+from ..utils.aot_cache import aot_jit
 
 
 #: window-group size cap: group * n gathered elements per group step. The
@@ -399,10 +400,25 @@ def _bucket_totals_fast(
     return buckets
 
 
-#: fold-kernel mode: "auto" = fused Pallas kernel on TPU (jnp fold
+#: fold-kernel mode: "on" = fused Pallas kernel on TPU (jnp fold
 #: elsewhere), "interpret" = Pallas interpreter (CPU test coverage),
 #: "off" = always the jnp fori_loop fold.
-_FOLD_KERNEL_MODE = "auto"
+#:
+#: DEFAULT OFF: the compiled kernel MISCOMPILES inside the production MSM
+#: graph on real TPU (round 5, reproduced deterministically at n=2^13,
+#: c=12 — ~60% of bucket totals come back as different group elements).
+#: The fault is context-dependent, not in the kernel logic: the SAME
+#: kernel is bit-exact (a) in interpret mode, (b) compiled standalone on
+#: the same captured operands, and (c) compiled in a jit that computes
+#: its operands in-graph; it corrupts only when the operands arrive as
+#: jit parameters (the production `_msm_jit` signature), and
+#: lax.optimization_barrier isolation does not help — which points at
+#: XLA parameter-layout interaction with the Mosaic custom call through
+#: the axon PJRT backend. Repro: /tmp-style scripts archived in
+#: experiments/msm_foldkernel_repro.py. The jnp fold costs ~0 at 2^16-18
+#: (grouped sizes exceed the kernel's VMEM budget anyway, so the kernel
+#: never engaged there) and is the known-good r04 path at 2^20.
+_FOLD_KERNEL_MODE = "off"
 
 
 def _fold_columns(curve, cps, st2, skip_z, multi_set, F, sb, l, r):
@@ -418,7 +434,9 @@ def _fold_columns(curve, cps, st2, skip_z, multi_set, F, sb, l, r):
     from . import ec_kernel
 
     mode = _FOLD_KERNEL_MODE
-    use_kernel = mode == "interpret" or (mode == "auto" and jac._pallas_ec(curve))
+    use_kernel = mode == "interpret" or (
+        mode in ("on", "auto") and jac._pallas_ec(curve)
+    )
     if use_kernel:
         interp = mode == "interpret"
         ext = curve.ext
@@ -605,7 +623,7 @@ def fixed_base_msm(
     return _fixed_base_eval(curve, scalars, table, window_bits, nb)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(aot_jit, static_argnums=(0, 3, 4))
 def _fixed_base_eval(
     curve: CurveSpec,
     scalars: jnp.ndarray,
@@ -729,7 +747,7 @@ def msm_multi(
     ]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(aot_jit, static_argnums=(0, 3, 4))
 def _msm_multi_jit(
     curve: CurveSpec,
     scalars: jnp.ndarray,
@@ -808,7 +826,7 @@ def _msm_multi_jit(
     return JPoint(*acc)  # batch (S,)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(aot_jit, static_argnums=(0, 3, 4))
 def _msm_jit(
     curve: CurveSpec,
     scalars: jnp.ndarray,

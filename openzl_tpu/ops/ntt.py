@@ -31,6 +31,7 @@ from jax import lax
 
 from ..fields import limb
 from ..fields.spec import FieldSpec
+from ..utils.aot_cache import aot_jit
 
 #: multiplicative generators used by arkworks v0.3 Fr configs (plus the
 #: standard BabyBear generator, used by the fast NTT test suite — a 31-bit
@@ -104,7 +105,7 @@ def _plan(spec: FieldSpec, log_n: int, inverse: bool):
     return rev, table, n_inv
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(aot_jit, static_argnums=(0, 2))
 def _ntt_core(spec: FieldSpec, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Constant-geometry (Pease) decimation-in-frequency butterflies.
 
@@ -356,7 +357,7 @@ def _apply_node(spec, x, node, interpret):
     return v.reshape(n, nt, c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(aot_jit, static_argnums=(0, 3))
 def _fourstep_core(spec: FieldSpec, x, tables, interpret):
     nodes, n_inv = tables
     from . import ntt_kernel

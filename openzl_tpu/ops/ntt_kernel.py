@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.spec import FieldSpec
 from .ec_kernel import _k_sub
 from .poseidon_kernel import _k_add, _k_mont_mul
+from ..utils.aot_cache import aot_jit
 
 _LANES = 128
 #: (32, 128) is the measured montmul throughput sweet spot (docs/performance.md)
@@ -65,7 +66,7 @@ def _make_mul_kernel(n0inv: int, scale: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(aot_jit, static_argnums=(0, 1, 2))
 def _call(spec: FieldSpec, mode: str, interpret: bool, *ops):
     """mode: 'butterfly' | 'mul' | 'scale'. ops: flat (n, N) arrays
     (N a multiple of _TILE), except a trailing (n, 1) operand in scale
@@ -195,7 +196,7 @@ def _make_small_ntt_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(aot_jit, static_argnums=(0, 4))
 def small_ntt(
     spec: FieldSpec,
     x: jnp.ndarray,

@@ -30,6 +30,34 @@ from . import ntt as nttmod
 #: trip (the O(n^2) bigint loop crosses the O(n log n) device cost here)
 _NTT_MUL_MIN = 512
 
+#: vanishing-poly divisions with at least this many quotient coefficients
+#: run the device suffix-sum path (below it the pack/transfer round trip
+#: dominates the host fold)
+_VANISH_DIV_DEVICE_MIN = 1 << 12
+
+
+def _vanishing_divide_device(
+    spec: FieldSpec, cs: Sequence[int], n: int
+) -> Tuple[List[int], List[int]]:
+    """Device suffix-sum form of division by x^n - 1 (see
+    DensePoly.divide_by_vanishing_poly). Returns (q, r) as host ints."""
+    m = -(-len(cs) // n)  # chunks of stride n
+    padded = list(cs) + [0] * (m * n - len(cs))
+    arr = jnp.asarray(limb.pack(spec, np.array(padded, dtype=object)))
+    chunked = arr.reshape(arr.shape[0], m, n)
+    # reverse accumulation: after visiting chunk t the accumulator holds
+    # sum_{k>=t} chunk_k; the value BEFORE adding chunk t is q's row t
+    acc = limb.zeros(spec, (n,))
+    q_rows = [None] * m
+    for t in range(m - 1, -1, -1):
+        q_rows[t] = acc
+        acc = limb.add(spec, acc, chunked[:, t, :])
+    q_arr = np.asarray(jnp.concatenate(q_rows, axis=1))
+    r_arr = np.asarray(acc)
+    q = [int(v) for v in limb.unpack(spec, q_arr)][: len(cs) - n]
+    r = [int(v) for v in limb.unpack(spec, r_arr)]
+    return q, r
+
 
 @dataclasses.dataclass(frozen=True)
 class Radix2Domain:
@@ -252,15 +280,27 @@ class DensePoly:
         return DensePoly(self.spec, q), DensePoly(self.spec, rem)
 
     def divide_by_vanishing_poly(
-        self, domain: Radix2Domain
+        self, domain: Radix2Domain, device: bool = None
     ) -> Tuple["DensePoly", "DensePoly"]:
         """Divide by Z_H = x^n - 1 in O(len) (ark-poly's specialization):
-        folding coefficient i+n into coefficient i of the quotient."""
+        folding coefficient i+n into coefficient i of the quotient.
+
+        The fold q[i] = cs[i+n] + q[i+n] telescopes to a SUFFIX SUM over
+        the n-strided chunks of the coefficient vector — q[j+tn] =
+        sum_{k>t} cs[j+kn] and r[j] = sum_{k>=0} cs[j+kn] — so the device
+        path reshapes the packed limbs to (chunks, n) and runs one
+        chained mod-add reduction per chunk row (a single fused XLA
+        dispatch; the host path is a serial Python bigint loop)."""
         p = self.spec.modulus
         n = domain.size
         cs = self.coeffs
         if len(cs) <= n:
             return DensePoly.zero(self.spec), self
+        if device is None:
+            device = len(cs) - n >= _VANISH_DIV_DEVICE_MIN
+        if device:
+            q, r = _vanishing_divide_device(self.spec, cs, n)
+            return DensePoly(self.spec, q), DensePoly(self.spec, r)
         q = [0] * (len(cs) - n)
         for i in range(len(q) - 1, -1, -1):
             q[i] = (cs[i + n] + (q[i + n] if i + n < len(q) else 0)) % p

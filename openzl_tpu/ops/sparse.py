@@ -31,6 +31,7 @@ from ..fields import limb
 from ..fields.spec import FieldSpec
 from .ntt import _use_kernel
 from .scan_utils import segmented_scan
+from ..utils.aot_cache import aot_jit
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -180,7 +181,7 @@ class SparseFieldMatrix:
         )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(aot_jit, static_argnums=(0, 1))
 def _matvec_jit(
     spec: FieldSpec,
     n_rows: int,

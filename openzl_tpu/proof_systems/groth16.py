@@ -44,6 +44,7 @@ from ..ops.sparse import SparseFieldMatrix
 from ..ref import curve as refc
 from ..ref import pairing as refpair
 from ..ref.pairing import PairingSpec
+from ..utils.aot_cache import aot_jit
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +349,7 @@ def _row_dot(rows, assignment: List[int], p: int) -> List[int]:
     return [lc.eval(assignment, p) for lc in rows]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(aot_jit, static_argnums=(0, 1, 2))
 def _prove_msms(g1, g2, ni, z_limbs, h_canon, aq, b1q, b2q, hq, lq):
     """The five proving MSMs in three pipeline dispatches.
 
@@ -382,7 +383,7 @@ def _prove_msms(g1, g2, ni, z_limbs, h_canon, aq, b1q, b2q, hq, lq):
 _FB_WINDOW = 8
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(aot_jit, static_argnums=(0, 3))
 def _geom_series_mont(spec, start_m, base_m, count: int):
     """(n_limbs, count) Montgomery limbs of start * base^i, i < count.
 
@@ -397,7 +398,7 @@ def _geom_series_mont(spec, start_m, base_m, count: int):
     return arr[:, :count]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(aot_jit, static_argnums=(0, 1))
 def _setup_queries(g1, g2, t1, t2, u, v, h, l):
     """All five setup query encodings in one dispatch. Inputs are padded to
     a COMMON length by the caller so the G1 eval compiles once; the windowed

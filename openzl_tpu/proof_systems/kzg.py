@@ -240,24 +240,45 @@ class KZG:
         claims: Sequence[Tuple[Optional[Tuple], int, int, Optional[Tuple]]],
         rng,
     ) -> bool:
-        """Random-linear-combination batch of (C, z, v, W) openings at a
-        SHARED point z: sum_j rho^j-weighted claims verify with ONE pairing
-        product (ark poly-commit's batch_check specialization)."""
+        """Random-linear-combination batch of (C, z, v, W) openings at
+        arbitrary — shared or DISTINCT — evaluation points, with ONE
+        2-pairing product (ark poly-commit KZG10 `batch_check`, general
+        form).
+
+        Each valid opening satisfies e(C - vG + zW, H) == e(W, [tau]H)
+        (fold the verify equation's (tau - z) factor into the lhs), so a
+        rho^j-weighted sum over claims gives
+            e(sum rho^j (C_j - v_j G + z_j W_j), H)
+              * e(-sum rho^j W_j, [tau]H) == 1
+        which is point-set independent."""
         r = self.pairing.r
         g1 = self.pairing.g1
-        zs = {z for _, z, _, _ in claims}
-        assert len(zs) == 1, "batch_verify: shared-evaluation-point form"
-        z = zs.pop()
+        gen = refc.generator(g1)
         rho = rng.randrange(1, r)
-        c_acc, w_acc, v_acc, w_scale = None, None, 0, 1
-        for commitment, _, v, proof in claims:
-            c_acc = refc.add(
-                g1, c_acc, refc.scalar_mul(g1, w_scale, commitment)
+        c_acc, w_acc, w_scale = None, None, 1
+        for commitment, z, v, proof in claims:
+            term = refc.add(
+                g1, commitment, refc.scalar_mul(g1, (-v) % r, gen)
             )
             if proof is not None:
+                term = refc.add(
+                    g1, term, refc.scalar_mul(g1, z % r, proof)
+                )
                 w_acc = refc.add(
                     g1, w_acc, refc.scalar_mul(g1, w_scale, proof)
                 )
-            v_acc = (v_acc + w_scale * v) % r
+            c_acc = refc.add(g1, c_acc, refc.scalar_mul(g1, w_scale, term))
             w_scale = w_scale * rho % r
-        return self.verify(params, c_acc, z, v_acc, w_acc)
+        if w_acc is None:
+            # all witnesses identity: every claim must be a degenerate
+            # (constant / q(tau)=0) opening, i.e. the weighted C - vG sum
+            # is identity; e(c_acc, H) == 1 iff c_acc is identity
+            return c_acc is None
+        if c_acc is None:
+            # e(-w_acc, [tau]H) == 1 with tau in [1, r) forces w_acc to be
+            # the identity (pairing non-degeneracy) — handled above
+            return False
+        return refpair.pairing_product_is_one(
+            self.pairing,
+            [(c_acc, params.g2_gen), (refc.neg(g1, w_acc), params.tau_g2)],
+        )

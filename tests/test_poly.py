@@ -70,6 +70,22 @@ def test_poly_vanishing_division(spec):
     assert dom.evaluate_vanishing(z) == z_h.evaluate(z)
 
 
+def test_poly_vanishing_division_device(spec):
+    """The device suffix-sum vanishing divide must match the host fold
+    bit-exactly, including non-multiple-of-n lengths and multi-chunk
+    quotients (len > 2n)."""
+    dom = Radix2Domain.new(spec, 16)
+    for deg in (16, 17, 31, 40, 63, 70):
+        a = DensePoly.rand(spec, deg, RNG)
+        qh, rh = a.divide_by_vanishing_poly(dom, device=False)
+        qd, rd = a.divide_by_vanishing_poly(dom, device=True)
+        assert qd == qh and rd == rh, deg
+    # degenerate: len <= n is identity regardless of path selection
+    small = DensePoly.rand(spec, 7, RNG)
+    q, r = small.divide_by_vanishing_poly(dom, device=True)
+    assert q.is_zero() and r == small
+
+
 def test_domain_size_one(spec):
     """ark-poly's Radix2EvaluationDomain supports size 1; the domain is
     {1}, all transforms are the identity (ADVICE r4 low — `new` used to

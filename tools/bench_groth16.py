@@ -127,6 +127,20 @@ def main():
     assert not bad, "fuzzed input accepted"
     print("verify OK, fuzzed input rejected", flush=True)
 
+    from openzl_tpu.utils import aot_cache
+
+    if aot_cache.cache_dir():
+        # cold-start attribution (VERDICT r4 item 5): hits = executables
+        # served without tracing or compiling; load_s = deserialize+load
+        # cost; compile_s = trace+compile cost of the misses
+        stats = dict(aot_cache.STATS)
+        stats = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in stats.items()
+        }
+        print(json.dumps({"metric": "aot_cache_stats", **stats}), flush=True)
+        results.append({"metric": f"aot_cache_stats_c{nc}{tag}", **stats})
+
     out = pathlib.Path(__file__).parent.parent / "SCALE_r05.json"
     prior = json.loads(out.read_text()) if out.exists() else []
     seen = {r["metric"] for r in results}

@@ -27,7 +27,8 @@ run_phase() {
 
 for phase in "${@:-scale groth16}"; do
   case "$phase" in
-    scale)      run_phase scale python tools/bench_scale.py ;;
+    scale)      run_phase scale python tools/bench_scale.py \
+                    --msm-g2-sizes 16,18,20 ;;
     groth16)    run_phase groth16 python tools/bench_groth16.py --chain 64 ;;
     groth16_1m) PHASE_TIMEOUT=14400 run_phase groth16_1m \
                     env OZL_PROFILE=1 python tools/bench_groth16.py \
@@ -35,9 +36,18 @@ for phase in "${@:-scale groth16}"; do
     groth16_half) PHASE_TIMEOUT=14400 run_phase groth16_half \
                     env OZL_PROFILE=1 python tools/bench_groth16.py \
                     --chain 2240 ;;
-    coldcache)  run_phase coldcache python tools/bench_groth16.py \
-                    --chain 560 --tag coldcache ;;
+    coldcache)  # three-run cold-start story at c=131k (VERDICT r4 item 5):
+                # 1. populate XLA + AOT-executable caches (same process)
+                # 2. fresh process, XLA persistent cache only (r4 baseline)
+                # 3. fresh process, AOT-executable cache (skips tracing)
+                run_phase coldpop env OZL_AOT_CACHE=/tmp/openzl_tpu_aot \
+                    python tools/bench_groth16.py --chain 560 --tag warmpop
+                run_phase coldcache python tools/bench_groth16.py \
+                    --chain 560 --tag coldcache
+                run_phase coldaot env OZL_AOT_CACHE=/tmp/openzl_tpu_aot \
+                    python tools/bench_groth16.py --chain 560 --tag coldaot ;;
     drive)      run_phase drive python tools/verify_drive_all.py all ;;
+    kzg)        run_phase kzg python tools/bench_kzg.py ;;
     roofline)   run_phase roofline python tools/roofline_audit.py ;;
     *) echo "unknown phase: $phase" | tee -a "$LOG" ;;
   esac
