@@ -552,9 +552,20 @@ class Groth16:
             lag_mont = jnp.asarray(
                 limb.pack_mont(fr, np.array(lag, dtype=object))
             )
-            u_m = prepared.at.matvec(lag_mont)
-            v_m = prepared.bt.matvec(lag_mont)
-            w_m = prepared.ct.matvec(lag_mont)
+            # one transpose COO on device at a time: force each matvec and
+            # free its matrix before staging the next (at nnz 2^23 the
+            # three COOs + overlapping matvec workspaces exhausted HBM at
+            # the c=2^20 flagship size; round-5 groth16_1m failure)
+            def staged_matvec(m):
+                out = m.matvec(lag_mont)
+                np.asarray(out[:1, :1])
+                m.drop_device()
+                return out
+
+            u_m = staged_matvec(prepared.at)
+            v_m = staged_matvec(prepared.bt)
+            w_m = staged_matvec(prepared.ct)
+            lag_mont.delete()  # only the matvecs consume the Lagrange row
             prof.lap("qap_evals")
 
             def cm(x: int):  # Montgomery broadcast constant

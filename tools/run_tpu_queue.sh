@@ -15,6 +15,10 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# the native witness/pairing library is a build artifact (not committed);
+# fresh machines must build it before any groth16 phase
+make -C native
+
 LOG=/tmp/queue_status.log
 : > "$LOG"
 
