@@ -801,17 +801,26 @@ class Groth16:
                     limb.pack_mont(fr, np.array(z, dtype=object))
                 )
             prof.lap("pack_witness")
-            ua = prepared.a.matvec(z_mont)
-            va = prepared.b.matvec(z_mont)
-            wa = prepared.c.matvec(z_mont)
             if pk.staged:
-                # HBM staging: force the matvecs, then free the device COO
-                # before the NTT stage allocates its working set (the host
-                # numpy matrices stay; next prove re-stages them)
-                for v in (ua, va, wa):
-                    np.asarray(v[:1, :1])
-                for m in (prepared.a, prepared.b, prepared.c):
+                # HBM staging, one COO at a time: force each matvec and
+                # free its matrix before lifting the next (with the cached
+                # device COO buffers all three matrices co-resident plus
+                # the matvec workspace exhaust HBM at c=2^20; same
+                # discipline as the setup matvecs and the per-query MSMs).
+                # The host numpy matrices stay; the next prove re-stages.
+                def staged_mv(m):
+                    out = m.matvec(z_mont)
+                    np.asarray(out[:1, :1])
                     m.drop_device()
+                    return out
+
+                ua = staged_mv(prepared.a)
+                va = staged_mv(prepared.b)
+                wa = staged_mv(prepared.c)
+            else:
+                ua = prepared.a.matvec(z_mont)
+                va = prepared.b.matvec(z_mont)
+                wa = prepared.c.matvec(z_mont)
         prof.lap("qap_matvec")
 
         # evals on H -> coeffs -> evals on coset gH

@@ -78,6 +78,11 @@ def main():
             row.update(extra)
         results.append(row)
         print(json.dumps(row), flush=True)
+        # write-through so a crashed later phase never loses this record
+        out = pathlib.Path(__file__).parent.parent / "SCALE_r05.json"
+        prior = json.loads(out.read_text()) if out.exists() else []
+        merged = [r for r in prior if r["metric"] != metric] + [row]
+        out.write_text(json.dumps(merged, indent=1))
 
     t0 = time.perf_counter()
     setup_cs = build(g16, params, args.chain)
